@@ -40,12 +40,17 @@ def points_on_segments(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.n
     x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     dx, dy = x2 - x1, y2 - y1
     ln = np.hypot(dx, dy)
-    ln = np.where(ln == 0, 1.0, ln)
+    degen = ln == 0
+    ln = np.where(degen, 1.0, ln)
     # broadcast (M, S)
     qx = px[:, None] - x1[None, :]
     qy = py[:, None] - y1[None, :]
     cross = np.abs(qx * dy[None, :] - qy * dx[None, :]) / ln[None, :]
+    # zero-length segment: "distance to the line" is meaningless — use
+    # distance to the point itself (otherwise every probe matches it)
+    cross = np.where(degen[None, :], np.hypot(qx, qy), cross)
     t = (qx * dx[None, :] + qy * dy[None, :]) / (ln[None, :] ** 2)
+    t = np.where(degen[None, :], 0.0, t)
     on = (cross <= EPS) & (t >= -EPS) & (t <= 1 + EPS)
     return on.any(axis=1)
 
@@ -218,10 +223,13 @@ def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     poly = clip_edge(poly, lambda p: p[1] <= maxy, ix_y(maxy))
     if len(poly) < 3:
         return np.zeros((0, 2))
-    # drop consecutive duplicates
+    # drop consecutive duplicates (and the wrap-around duplicate, so the
+    # final closing vstack never creates a zero-length segment)
     keep = np.ones(len(poly), dtype=bool)
     keep[1:] = np.any(poly[1:] != poly[:-1], axis=1)
     poly = poly[keep]
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
     if len(poly) < 3:
         return np.zeros((0, 2))
     return np.vstack([poly, poly[:1]])

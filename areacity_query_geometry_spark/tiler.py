@@ -1,0 +1,112 @@
+"""Tile builder: boundaries DataFrame → `tiles` DataFrame.
+
+The distributed replacement for the reference's init-time grid split +
+STRtree build (/root/reference/AreaCityQuery.java:1310-1375, 684):
+each feature is polyfilled into grid cells by quadtree descent
+(grid.polyfill_adaptive); fully-interior cells are emitted WITHOUT
+geometry (point lookups on them skip exact math entirely — the
+distributed analog of the reference's 4-point-rectangle shortcut,
+README.md:288-296); boundary cells carry the feature's rings clipped to
+the cell rect (the `polygon.intersection(gridRect)` analog) as WKB.
+
+Tile schema:
+    cell_id   long    — packed (res, ix, iy), see grid.py
+    res       int     — grid resolution of this tile
+    region_id long    — owning feature
+    deep      int     — denormalized admin level (join-time pushdown)
+    kind      int     — 1 interior, 0 boundary
+    tile_wkb  binary  — clipped rings (even-odd), null for interior
+    n_pts     int     — clipped-ring vertex count (skew statistics)
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StructField, StructType,
+)
+
+from . import grid
+from .geom import core, predicates, wkb
+
+TILE_SCHEMA = StructType([
+    StructField("cell_id", LongType()),
+    StructField("res", IntegerType()),
+    StructField("region_id", LongType()),
+    StructField("deep", IntegerType()),
+    StructField("kind", IntegerType()),
+    StructField("tile_wkb", BinaryType()),
+    StructField("n_pts", IntegerType()),
+])
+
+# expand the clip window a hair so zero-width slivers (a region edge
+# running exactly along a grid line) survive as testable thin polygons —
+# without this, a point ON such an edge would false-negative.
+CLIP_EPS = 1e-9
+
+
+def clip_geom_to_cell(geom: dict, cell_id: int) -> bytes | None:
+    minx, miny, maxx, maxy = grid.cell_bounds(cell_id)
+    minx -= CLIP_EPS
+    miny -= CLIP_EPS
+    maxx += CLIP_EPS
+    maxy += CLIP_EPS
+    rings_out = []
+    for rings in core.polygons_of(geom):
+        for r in rings:
+            c = predicates.clip_ring_to_rect(r, minx, miny, maxx, maxy)
+            if len(c):
+                rings_out.append(c)
+    if not rings_out:
+        return None
+    return wkb.dumps({"type": "Polygon", "rings": rings_out})
+
+
+def _tile_batches(base_res: int, max_res: int, seg_budget: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("cell_id", "res", "region_id", "deep", "kind", "tile_wkb", "n_pts")}
+            for rid, deep, gwkb in zip(pdf["region_id"], pdf["deep"], pdf["geom_wkb"]):
+                if gwkb is None:
+                    continue  # EMPTY features stay queryable by attribute scan only (T4)
+                geom = wkb.loads(bytes(gwkb))
+                cells, kinds = grid.polyfill_adaptive(
+                    geom, base_res=base_res, max_res=max_res, seg_budget=seg_budget
+                )
+                for cid, kind in zip(cells.tolist(), kinds.tolist()):
+                    if kind == 1:
+                        twkb, npts = None, 0
+                    else:
+                        twkb = clip_geom_to_cell(geom, cid)
+                        if twkb is None:
+                            continue
+                        npts = (len(twkb) // 16) & 0x7FFFFFFF
+                    out["cell_id"].append(cid)
+                    out["res"].append(int(cid >> 56))
+                    out["region_id"].append(rid)
+                    out["deep"].append(deep)
+                    out["kind"].append(kind)
+                    out["tile_wkb"].append(twkb)
+                    out["n_pts"].append(npts)
+            yield pd.DataFrame(out)
+    return fn
+
+
+def build_tiles(
+    boundaries: DataFrame,
+    base_res: int = 12,
+    max_res: int | None = None,
+    seg_budget: int = 48,
+) -> DataFrame:
+    """One Spark job; features spread across all cores (the reference
+    capped init at 5 threads, AreaCityQuery.java:551-552 — here the
+    cluster width is the cap)."""
+    if max_res is None:
+        max_res = min(grid.MAX_RES, base_res + 4)
+    spark = boundaries.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism * 2)
+    src = boundaries.select("region_id", "deep", "geom_wkb").repartition(n_parts, "region_id")
+    return src.mapInPandas(_tile_batches(base_res, max_res, seg_budget), TILE_SCHEMA)

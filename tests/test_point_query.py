@@ -1,0 +1,104 @@
+"""Q1 golden parity tests against the reference's committed province
+fixture — expectations transcribed from /root/reference/Test.java
+(golden point lookups, Test.java:306-338; the fixture is
+province-level, so district-level goldens assert their province).
+"""
+import pytest
+
+
+def _points_df(spark, pts):
+    return spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id long, lng double, lat double",
+    )
+
+
+def _hits(engine, pts, where=None):
+    df = engine.query_points(_points_df(engine.spark, pts), where=where)
+    rows = df.select("point_id", "name").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.point_id, set()).add(r.name)
+    return out
+
+
+class TestGoldenPoints:
+    def test_longhua_golden(self, province_engine):
+        # Test.java:306-320 — (114.044346, 22.691963) is in 龙华区, Shenzhen
+        # → province level: 广东省
+        hits = _hits(province_engine, [(114.044346, 22.691963)])
+        assert hits.get(0) == {"广东省"}
+
+    def test_offshore_no_plain_hit(self, province_engine):
+        # Test.java:323-338 — offshore point must return 0 rows without tolerance
+        hits = _hits(province_engine, [(121.993491, 29.524288)])
+        assert 0 not in hits
+
+    def test_beijing_center(self, province_engine):
+        hits = _hits(province_engine, [(116.407387, 39.904179)])
+        assert hits.get(0) == {"北京市"}
+
+    def test_enclave_points_map_to_provinces(self, province_engine):
+        # Test.java:454-476 hard cases, at province level
+        pts = [
+            (117.286491, 30.450399),  # 铜陵市郊区 enclave → 安徽省
+            (116.055588, 39.709385),  # 北京市房山区 exclave → 北京市
+            (130.277487, 47.331960),  # 鹤岗市南山区 → 黑龙江省
+            (118.180213, 39.630867),  # 唐山市路北区 → 河北省
+            (82.045865, 41.787138),   # 阿克苏拜城县 → 新疆维吾尔自治区
+        ]
+        hits = _hits(province_engine, pts)
+        assert hits.get(0) == {"安徽省"}
+        assert hits.get(1) == {"北京市"}
+        assert hits.get(2) == {"黑龙江省"}
+        assert hits.get(3) == {"河北省"}
+        assert hits.get(4) == {"新疆维吾尔自治区"}
+
+    def test_where_filter(self, province_engine):
+        hits = _hits(province_engine, [(114.044346, 22.691963)], where="deep = 0")
+        assert hits.get(0) == {"广东省"}
+        hits2 = _hits(province_engine, [(114.044346, 22.691963)], where="deep = 1")
+        assert 0 not in hits2
+
+    def test_batch_many_points(self, province_engine):
+        pts = [(114.044346, 22.691963), (116.407387, 39.904179), (0.0, 0.0)]
+        hits = _hits(province_engine, pts)
+        assert hits.get(0) == {"广东省"}
+        assert hits.get(1) == {"北京市"}
+        assert 2 not in hits
+
+
+class TestLatticeSweepInvariants:
+    """Scaled-down analog of Test.java:405-436's deterministic lattice:
+    tile-join result must equal direct per-feature PIP on every lattice
+    point (engine vs kernel oracle)."""
+
+    def test_lattice_parity(self, province_engine, spark):
+        import numpy as np
+
+        from areacity_query_geometry_spark.geom import core, geojson, predicates
+
+        lons = np.linspace(98, 135, 25)
+        lats = np.linspace(18, 42, 25)
+        gx, gy = np.meshgrid(lons, lats)
+        px, py = gx.ravel(), gy.ravel()
+        pts = list(zip(px.tolist(), py.tolist()))
+        engine_hits = _hits(province_engine, pts)
+
+        feats = [
+            r
+            for line in open(
+                "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json",
+                encoding="utf-8",
+            )
+            if (r := geojson.parse_feature_line(line))
+        ]
+        oracle = {}
+        for prop, g in feats:
+            if core.is_empty(g):
+                continue
+            name = geojson.extract_str(prop, "name")
+            hit = predicates.points_intersect_rings(px, py, core.all_rings(g))
+            for i in np.nonzero(hit)[0].tolist():
+                oracle.setdefault(i, set()).add(name)
+        assert engine_hits == oracle
