@@ -296,3 +296,48 @@ def any_segment_intersection(a: np.ndarray, b: np.ndarray) -> bool:
         | on(d4, ax2, ay2, bx1, by1, bx2, by2)
     )
     return bool(touch.any())
+
+
+def geoms_intersect(a: dict, b: dict) -> bool:
+    """OGC SFS `intersects` between two geometries (Point / LineString /
+    Polygon / MultiPolygon), boundary-inclusive — the engine-side analog
+    of JTS `geom.intersects(subGeom)` used by Q3
+    (/root/reference/AreaCityQuery.java:260-263)."""
+    from . import core as _core
+
+    if a["type"] == "Point":
+        return _point_hits(a["xy"][0], a["xy"][1], b)
+    if b["type"] == "Point":
+        return _point_hits(b["xy"][0], b["xy"][1], a)
+    sa = _segs_of(a)
+    sb = _segs_of(b)
+    if any_segment_intersection(sa, sb):
+        return True
+    # no edge crossings: containment — one's first vertex inside the other
+    if a["type"] in ("Polygon", "MultiPolygon") and len(sb):
+        if _point_hits(sb[0, 0], sb[0, 1], a):
+            return True
+    if b["type"] in ("Polygon", "MultiPolygon") and len(sa):
+        if _point_hits(sa[0, 0], sa[0, 1], b):
+            return True
+    return False
+
+
+def _segs_of(g: dict) -> np.ndarray:
+    from . import core as _core
+
+    if g["type"] == "LineString":
+        xy = g["xy"]
+        if len(xy) < 2:
+            return np.zeros((0, 4))
+        return np.hstack([xy[:-1], xy[1:]])
+    return segments_of_rings(_core.all_rings(g))
+
+
+def _point_hits(x: float, y: float, g: dict) -> bool:
+    from . import core as _core
+
+    px, py = np.array([x]), np.array([y])
+    if g["type"] in ("Polygon", "MultiPolygon"):
+        return bool(points_intersect_rings(px, py, _core.all_rings(g))[0])
+    return bool(points_on_segments(px, py, _segs_of(g))[0])

@@ -1,0 +1,123 @@
+"""Q2/Q3/Q4/Q5 golden parity tests (reference expectations from
+/root/reference/Test.java:323-401)."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def _points_df(spark, pts):
+    return spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id long, lng double, lat double",
+    )
+
+
+class TestTolerance:
+    def test_offshore_xiangshan(self, province_engine):
+        # Test.java:323-338 — offshore (121.993491, 29.524288) with 2500m
+        # tolerance must match 象山县's province 浙江省 with a distance
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, [(121.993491, 29.524288)]), 2500
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.name == "浙江省"
+        assert r.point_distance is not None and 0 < r.point_distance <= 2600
+        assert '"PointDistance":' in r.prop_json_out
+        assert f'"PointDistanceID": {r.region_id}' in r.prop_json_out
+
+    def test_matched_point_passthrough(self, province_engine):
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, [(114.044346, 22.691963)]), 2500
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].name == "广东省"
+        assert rows[0].point_distance is None
+
+    def test_tolerance_zero_is_plain_q1(self, province_engine):
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, [(121.993491, 29.524288)]), 0
+        ).collect()
+        assert rows == []
+
+    def test_one_winner_per_deep(self, province_engine):
+        # province fixture has a single deep level (0) → exactly 1 row
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, [(121.993491, 29.524288)]), 100000
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].deep == 0
+
+    def test_unlimited_tolerance(self, province_engine):
+        # far offshore point; -1 must still find the nearest feature
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, [(130.0, 25.0)]), -1
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].point_distance > 100000
+
+
+class TestGeometryProbe:
+    def test_polygon_probe_three_provinces(self, province_engine, spark):
+        # Test.java:340-373 — rect (113.305514,30.564249)-(117.32651,32.881526)
+        # with deep==0 must hit exactly 湖北省 + 河南省 + 安徽省
+        wkt = ("POLYGON ((113.305514 30.564249, 113.305514 32.881526, "
+               "117.32651 32.881526, 117.32651 30.564249, 113.305514 30.564249))")
+        probes = spark.createDataFrame([(1, wkt)], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes, where="deep = 0").collect()
+        assert {r.name for r in rows} == {"湖北省", "河南省", "安徽省"}
+
+    def test_point_probe_equals_q1(self, province_engine, spark):
+        probes = spark.createDataFrame(
+            [(1, "POINT (114.044346 22.691963)")], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        assert {r.name for r in rows} == {"广东省"}
+
+    def test_linestring_probe(self, province_engine, spark):
+        # a line from Wuhan to Beijing crosses several provinces
+        probes = spark.createDataFrame(
+            [(1, "LINESTRING (114.3 30.6, 116.4 39.9)")], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        names = {r.name for r in rows}
+        assert "湖北省" in names and "北京市" in names and "河南省" in names
+        assert "广东省" not in names
+
+
+class TestAttributeScan:
+    def test_read_wkt_filter(self, province_engine):
+        rows = province_engine.read_wkt_features(where="name = '北京市'").collect()
+        assert len(rows) == 1
+        assert rows[0].wkt.startswith(("POLYGON", "MULTIPOLYGON"))
+
+    def test_ext_path_like(self, province_engine):
+        rows = province_engine.read_wkt_features(
+            where="ext_path LIKE '%湖北%'", with_wkt=False).collect()
+        assert [r.name for r in rows] == ["湖北省"]
+
+    def test_scan_keeps_empty_features(self, province_engine):
+        total = province_engine.read_wkt_features(with_wkt=False).count()
+        assert total == 34  # every feature incl. any EMPTY geometry ones
+
+
+class TestTileDebug:
+    def test_tile_splits_roundtrip(self, province_engine):
+        rows = province_engine.debug_tile_splits_wkt(where="name = '广东省'").collect()
+        assert len(rows) == 1
+        assert rows[0].n_tiles > 10
+        assert rows[0].tiles_wkt.startswith("MULTIPOLYGON")
+
+    def test_tile_union_covers_golden_point(self, province_engine):
+        # the reassembled tiling must still contain the golden point
+        import numpy as np
+
+        from areacity_query_geometry_spark.geom import core, predicates, wkt as wkt_codec
+
+        row = province_engine.debug_tile_splits_wkt(where="name = '广东省'").collect()[0]
+        g = wkt_codec.loads(row.tiles_wkt)
+        hit = False
+        for rings in core.polygons_of(g):
+            if predicates.points_intersect_rings(
+                np.array([114.044346]), np.array([22.691963]), rings
+            )[0]:
+                hit = True
+                break
+        assert hit
