@@ -1,0 +1,144 @@
+"""Deterministic synthetic spatial world ("rectangle world") used by the
+driver correctness gate and benchmarks.
+
+Why rectangles: the DuckDB oracle has no spatial extension, so
+point-in-polygon must be expressible in ANSI SQL. A hierarchy of
+axis-aligned admin regions (4 provinces → 16 cities → 64 districts,
+plus one region with a hole, one MultiPolygon enclave pair and one
+EMPTY-geometry feature) makes every reference semantics SQL-checkable:
+closed-rect containment = edge-touch duality, open-hole exclusion =
+hole semantics, multi-part DISTINCT = MultiPolygon dedup
+(/root/reference/AreaCityQuery.java:69-85, Test.java:454-476 analogs).
+
+All coordinates are dyadic rationals (multiples of 1/64) so every
+border comparison is exact in IEEE float on BOTH engines — no epsilon
+ambiguity between the numpy kernel and the SQL oracle.
+
+The same probe/region definitions are emitted as (a) a Spark
+boundaries DataFrame feeding the real tile engine and (b) SQL text
+fragments (VALUES literals) runnable verbatim by Spark SQL and DuckDB.
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .geom import core, wkb
+from .sources.geojson_source import BOUNDARY_SCHEMA
+
+# ------------------------------------------------------------------ regions
+
+WORLD = 40.0  # regions tile [0, 40] x [0, 40] degrees
+
+
+def _rect(x0, y0, x1, y1):
+    return (float(x0), float(y0), float(x1), float(y1))
+
+
+def region_rows():
+    """[(ord, code, deep, parts=[(x0,y0,x1,y1)], hole|None)] — hole is
+    carved from every part it falls inside (only region P00/D0000)."""
+    rows = []
+    ordn = 1
+    hole = _rect(2.0, 2.0, 3.0, 3.0)
+    # provinces: 2x2 of 20°
+    for i in range(2):
+        for j in range(2):
+            code = f"P{i}{j}"
+            rows.append((ordn, code, 0, [_rect(20 * i, 20 * j, 20 * (i + 1), 20 * (j + 1))],
+                         hole if (i, j) == (0, 0) else None))
+            ordn += 1
+    # cities: 4 per province, 10°
+    for i in range(4):
+        for j in range(4):
+            code = f"C{i}{j}"
+            rows.append((ordn, code, 1, [_rect(10 * i, 10 * j, 10 * (i + 1), 10 * (j + 1))], None))
+            ordn += 1
+    # districts: 5°
+    for i in range(8):
+        for j in range(8):
+            code = f"D{i}{j}"
+            rows.append((ordn, code, 2, [_rect(5 * i, 5 * j, 5 * (i + 1), 5 * (j + 1))],
+                         hole if (i, j) == (0, 0) else None))
+            ordn += 1
+    # multipart special region (enclave/exclave analog, Test.java:454-476)
+    rows.append((ordn, "S1", 3, [_rect(37, 1, 39, 2), _rect(1, 37, 2, 39)], None))
+    ordn += 1
+    # EMPTY geometry feature (AreaCityQuery.java:909-916 analog)
+    rows.append((ordn, "E1", 3, [], None))
+    return rows
+
+
+def region_parts_values_sql() -> str:
+    """One VALUES row per simple part: (ord, code, deep, x0, y0, x1, y1,
+    hx0, hy0, hx1, hy1). Runs verbatim in Spark SQL and DuckDB."""
+    vals = []
+    for ordn, code, deep, parts, hole in region_rows():
+        for (x0, y0, x1, y1) in parts:
+            h = hole if hole and hole[0] >= x0 and hole[2] <= x1 and hole[1] >= y0 and hole[3] <= y1 else None
+            hx = ", ".join(repr(v) for v in h) if h else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            vals.append(f"({ordn}, '{code}', {deep}, {x0!r}, {y0!r}, {x1!r}, {y1!r}, {hx})")
+    return (
+        "(VALUES " + ", ".join(vals)
+        + ") AS r(ord, code, deep, x0, y0, x1, y1, hx0, hy0, hx1, hy1)"
+    )
+
+
+def boundaries_df(spark: SparkSession) -> DataFrame:
+    """The same regions as a real boundaries DataFrame (engine input)."""
+    rows = []
+    for ordn, code, deep, parts, hole in region_rows():
+        if not parts:
+            gwkb = None
+        else:
+            polys = []
+            for (x0, y0, x1, y1) in parts:
+                shell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                holes = []
+                if hole and hole[0] >= x0 and hole[2] <= x1 and hole[1] >= y0 and hole[3] <= y1:
+                    hx0, hy0, hx1, hy1 = hole
+                    holes.append([(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1), (hx0, hy0)])
+                polys.append([core.ensure_closed(np.asarray(shell, dtype=np.float64))]
+                             + [core.ensure_closed(np.asarray(h, dtype=np.float64)) for h in holes])
+            geom = {"type": "MultiPolygon", "polys": polys} if len(polys) > 1 else \
+                   {"type": "Polygon", "rings": polys[0]}
+            gwkb = wkb.dumps(geom)
+        prop = f'{{"id":"{code}","pid":"0","deep":"{deep}","name":"{code}","ext_path":"{code}"}}'
+        rows.append((ordn, code, "0", deep, code, code, "", prop, gwkb))
+    return spark.createDataFrame(rows, BOUNDARY_SCHEMA)
+
+
+# ------------------------------------------------------------------ probes
+
+def point_probes_sql(events: str = "events") -> str:
+    """Deterministic probe points from the events table — multiples of
+    1/64° spread over [0, 40)². Identical SQL for Spark and DuckDB."""
+    return (
+        f"SELECT event_id AS point_id, "
+        f"CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng, "
+        f"CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat "
+        f"FROM {events}"
+    )
+
+
+def miss_probes_sql(events: str = "events") -> str:
+    """Probes strictly OUTSIDE the region world (negative lng) for the
+    tolerance/kNN query; 1/64° grid again."""
+    return (
+        f"SELECT event_id AS point_id, "
+        f"0.0 - (CAST(event_id * 13 % 320 AS DOUBLE) / 64 + 0.015625) AS lng, "
+        f"CAST(event_id * 7 % 2560 AS DOUBLE) / 64 AS lat "
+        f"FROM {events} WHERE event_id % 20 = 0"
+    )
+
+
+def rect_probes_sql(orders: str = "orders") -> str:
+    """Deterministic rectangle probes from orders (Q3 analog)."""
+    return (
+        f"SELECT o_orderkey AS probe_id, "
+        f"CAST(o_orderkey * 11 % 2048 AS DOUBLE) / 64 AS qx0, "
+        f"CAST(o_orderkey * 29 % 2048 AS DOUBLE) / 64 AS qy0, "
+        f"CAST(o_orderkey * 11 % 2048 AS DOUBLE) / 64 + 1 + CAST(o_orderkey % 128 AS DOUBLE) / 64 AS qx1, "
+        f"CAST(o_orderkey * 29 % 2048 AS DOUBLE) / 64 + 1 + CAST(o_orderkey * 3 % 128 AS DOUBLE) / 64 AS qy1 "
+        f"FROM {orders} WHERE o_orderkey % 37 = 0"
+    )

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same sf dir; compare row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            col = col.round(9)
+        h.update(col.astype(str).str.cat(sep="\x1f").encode())
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"{name}: rows={len(sdf)} (no oracle — rows-only check)")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        s, o = canon(sdf), canon(odf)
+        cols_ok = list(s.columns) == list(o.columns)
+        rows_ok = len(s) == len(o)
+        hash_ok = cols_ok and rows_ok and value_hash(s) == value_hash(o)
+        status = "OK" if hash_ok else "MISMATCH"
+        print(f"{name}: {status} spark_rows={len(s)} oracle_rows={len(o)} cols_ok={cols_ok}")
+        if not hash_ok:
+            failures += 1
+            if cols_ok and rows_ok:
+                diff = s.compare(o) if s.shape == o.shape else None
+                if diff is not None and len(diff):
+                    print(diff.head(10))
+            else:
+                print("  spark cols:", list(s.columns), "oracle cols:", list(o.columns))
+                # show a few example rows from each for debugging
+                print("  spark head:", s.head(3).to_dict("records"))
+                print("  oracle head:", o.head(3).to_dict("records"))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
