@@ -29,8 +29,8 @@ def _engine(spark: SparkSession) -> SpatialEngine:
 
         boundaries = fixtures.boundaries_df(spark).cache()
         tiles = tiler.build_tiles(boundaries, base_res=7, max_res=9).cache()
-        levels = [r["res"] for r in tiles.select("res").distinct().collect()]
-        eng = SpatialEngine(spark, boundaries, tiles, levels)
+        tiles.count()  # materialize once
+        eng = SpatialEngine(spark, boundaries, tiles, base_res=7)
         _ENGINE_CACHE[key] = eng
     return eng
 

@@ -15,6 +15,12 @@ but batch-first: the probe side is a DataFrame of millions/billions of
 points (rows of the docs table), not a single coordinate — the reference
 answers one coordinate per call; this engine answers them all in one
 distributed join.
+
+Hot-path shape (Q1): probe cell_id is ONE codegen'd SQL expression per
+point; the tile join is a plain equi-join (broadcast when the tile set
+fits, sort-merge otherwise); whole-cell interior hits (kind=1) never
+leave the JVM; only points landing in boundary-ish cells cross into the
+vectorized Arrow refine.
 """
 from __future__ import annotations
 
@@ -36,35 +42,71 @@ _REFINE_SCHEMA = StructType([
     StructField("region_id", LongType()),
 ])
 
+_EMPTY_REFINE = pd.DataFrame({
+    "point_id": pd.Series([], dtype="int64"),
+    "region_id": pd.Series([], dtype="int64"),
+})
+
 
 def _refine_point_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Exact point-in-tile refine, vectorized per (cell, region) group —
-    the JTS `subGeom.intersects(point)` analog
-    (/root/reference/AreaCityQuery.java:260-263). One WKB decode per
-    tile; all points probing that tile tested in one numpy call."""
+    """Exact point refine, vectorized per (cell, region) group — the JTS
+    `subGeom.intersects(point)` analog
+    (/root/reference/AreaCityQuery.java:260-263).
+
+    A group may hold several tiles (adaptive sub-tiles keyed by their
+    base-res ancestor): kind=2 rows are pure rect tests, kind=0 rows are
+    even-odd + on-boundary tests against the clipped rings. Prepared
+    geometry is cached across Arrow batches for the task's lifetime, so
+    each tile's WKB is decoded once per task, not once per batch.
+    """
+    cache: dict[tuple[int, int], list] = {}
     for pdf in it:
         if len(pdf) == 0:
-            yield pd.DataFrame({"point_id": [], "region_id": []}).astype(
-                {"point_id": "int64", "region_id": "int64"})
+            yield _EMPTY_REFINE
             continue
-        pids, rids = [], []
+        out_pid = []
+        out_rid = []
         for (cid, rid), grp in pdf.groupby(["cell_id", "region_id"], sort=False):
-            geom = wkb.loads(bytes(grp["tile_wkb"].iloc[0]))
-            hit = predicates.points_intersect_rings(
-                grp["lng"].to_numpy(), grp["lat"].to_numpy(), core.all_rings(geom)
-            )
+            key = (cid, rid)
+            entries = cache.get(key)
+            if entries is None:
+                entries = []
+                seen_rows = set()
+                for kind, mnx, mny, mxx, mxy, twkb in zip(
+                    grp["kind"], grp["minx"], grp["miny"],
+                    grp["maxx"], grp["maxy"], grp["tile_wkb"],
+                ):
+                    rk = (kind, mnx, mny, mxx, mxy)
+                    if rk in seen_rows:
+                        continue
+                    seen_rows.add(rk)
+                    if kind == 2:
+                        entries.append((2, (mnx, mny, mxx, mxy), None))
+                    else:
+                        g = wkb.loads(bytes(twkb))
+                        segs = predicates.segments_of_rings(core.all_rings(g))
+                        entries.append((0, None, segs))
+                cache[key] = entries
+            pts = grp.drop_duplicates("point_id") if len(entries) > 1 else grp
+            px = pts["lng"].to_numpy()
+            py = pts["lat"].to_numpy()
+            hit = np.zeros(len(pts), dtype=bool)
+            for kind, rect, segs in entries:
+                if kind == 2:
+                    mnx, mny, mxx, mxy = rect
+                    hit |= (px >= mnx) & (px < mxx) & (py >= mny) & (py < mxy)
+                else:
+                    hit |= predicates.points_intersect_prepared(px, py, segs)
             if hit.any():
-                pids.append(grp["point_id"].to_numpy()[hit])
-                rids.append(pd.Series([rid] * int(hit.sum())))
-        if pids:
-            import numpy as np
+                out_pid.append(pts["point_id"].to_numpy()[hit])
+                out_rid.append(np.full(int(hit.sum()), rid, dtype="int64"))
+        if out_pid:
             yield pd.DataFrame({
-                "point_id": np.concatenate(pids).astype("int64"),
-                "region_id": pd.concat(rids).to_numpy().astype("int64"),
+                "point_id": np.concatenate(out_pid).astype("int64"),
+                "region_id": np.concatenate(out_rid),
             })
         else:
-            yield pd.DataFrame({"point_id": [], "region_id": []}).astype(
-                {"point_id": "int64", "region_id": "int64"})
+            yield _EMPTY_REFINE
 
 
 class SpatialEngine:
@@ -75,13 +117,13 @@ class SpatialEngine:
         spark: SparkSession,
         boundaries: DataFrame,
         tiles: DataFrame,
-        res_levels: list[int],
+        base_res: int,
         broadcast_tiles: bool = True,
     ):
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
-        self.res_levels = sorted(res_levels)
+        self.base_res = base_res
         self.broadcast_tiles = broadcast_tiles
 
     # ------------------------------------------------------------ build
@@ -91,7 +133,7 @@ class SpatialEngine:
         cls,
         spark: SparkSession,
         path: str,
-        base_res: int = 12,
+        base_res: int = 10,
         max_res: int | None = None,
         seg_budget: int = 48,
         cache: bool = True,
@@ -101,17 +143,18 @@ class SpatialEngine:
         if cache:
             boundaries = boundaries.cache()
             tiles = tiles.cache()
-        levels = [r["res"] for r in tiles.select("res").distinct().collect()]
         n_tiles = tiles.count()
-        return cls(spark, boundaries, tiles, levels, broadcast_tiles=n_tiles < 3_000_000)
+        return cls(spark, boundaries, tiles, base_res,
+                   broadcast_tiles=n_tiles < 3_000_000)
 
     # ------------------------------------------------- shared join spine
 
     def _probe_cells(self, points: DataFrame, lng="lng", lat="lat") -> DataFrame:
-        """Attach cell_id per tile-resolution level — pure Spark SQL
-        (whole-stage codegen'd); L levels → L probe rows per point."""
-        exprs = [F.expr(grid.cell_id_sql_expr(lng, lat, r)) for r in self.res_levels]
-        return points.withColumn("cell_id", F.explode(F.array(*exprs)))
+        """Attach the base-res cell_id — one pure Spark SQL expression
+        (whole-stage codegen'd), one probe row per point."""
+        return points.withColumn(
+            "cell_id", F.expr(grid.cell_id_sql_expr(lng, lat, self.base_res))
+        )
 
     def _tiles_for(self, where: str | None) -> DataFrame:
         t = self.tiles
@@ -124,19 +167,20 @@ class SpatialEngine:
                       lng="lng", lat="lat") -> DataFrame:
         """Core spatial join: (point_id, lng, lat) → (point_id, region_id).
 
-        interior-tile hits never leave the JVM; only boundary-tile rows
-        cross into the Arrow refine UDF.
+        kind=1 (whole-cell interior) hits never leave the JVM; kind 0/2
+        rows cross into the Arrow refine. A point hits at most one tile
+        tree per region by construction, and same-key sub-tiles are
+        deduped inside the refine group, so no dedup shuffle is needed.
         """
         probe = self._probe_cells(points, lng, lat)
         joined = probe.join(self._tiles_for(where), "cell_id")
         interior = joined.filter(F.col("kind") == 1).select("point_id", "region_id")
-        boundary = joined.filter(F.col("kind") == 0).select(
+        boundary = joined.filter(F.col("kind") != 1).select(
             "point_id", F.col(lng).alias("lng"), F.col(lat).alias("lat"),
-            "cell_id", "region_id", "tile_wkb",
+            "cell_id", "region_id", "kind", "minx", "miny", "maxx", "maxy",
+            "tile_wkb",
         )
         refined = boundary.mapInPandas(_refine_point_batches, _REFINE_SCHEMA)
-        # a point hits at most one tile per region by construction (tiles
-        # partition each region's cover), so no dedup shuffle is needed.
         return interior.unionByName(refined)
 
     def _with_props(self, matches: DataFrame) -> DataFrame:
@@ -184,7 +228,7 @@ class SpatialEngine:
             return base_out
         misses = pts.join(base.select("point_id").distinct(), "point_id", "left_anti")
 
-        levels = self.res_levels
+        base_res = self.base_res
         if tolerance_m > 0:
             cover_schema = StructType([
                 StructField("point_id", LongType()),
@@ -199,12 +243,11 @@ class SpatialEngine:
                     for pid, x, y in zip(pdf["point_id"], pdf["lng"], pdf["lat"]):
                         circ = distance.simple_circle(x, y, tolerance_m, 24)
                         minx, miny, maxx, maxy = core.bounds(circ)
-                        for r in levels:
-                            cells = grid.cover_bbox(minx, miny, maxx, maxy, r)
-                            pid_o.extend([pid] * len(cells))
-                            lng_o.extend([x] * len(cells))
-                            lat_o.extend([y] * len(cells))
-                            cid_o.extend(cells.tolist())
+                        cells = grid.cover_bbox(minx, miny, maxx, maxy, base_res)
+                        pid_o.extend([pid] * len(cells))
+                        lng_o.extend([x] * len(cells))
+                        lat_o.extend([y] * len(cells))
+                        cid_o.extend(cells.tolist())
                     yield pd.DataFrame(
                         {"point_id": pid_o, "lng": lng_o, "lat": lat_o, "cell_id": cid_o}
                     ).astype({"point_id": "int64", "cell_id": "int64"})
@@ -213,8 +256,6 @@ class SpatialEngine:
             cand = cover.join(
                 self._tiles_for(where).filter(F.col("kind") == 0), "cell_id"
             ).select("point_id", "lng", "lat", "region_id", "tile_wkb")
-            # no dedup needed: the cover emits each cell once per point and
-            # each tile owns exactly one cell, so (point, tile) pairs are unique
         else:  # tolerance -1: unlimited — every boundary tile is a candidate
             t = self.tiles.filter(F.col("kind") == 0)
             if where:
@@ -230,24 +271,55 @@ class SpatialEngine:
         tol = float(tolerance_m)
 
         def dist_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            """Planar-nearest + haversine per candidate, vectorized per
+            TILE (each tile's points tested in one numpy call). Gate:
+            the tile must intersect the per-point 24-gon circle — cheap
+            inscribed/escribed radius bounds short-circuit the exact
+            polygon×polygon test for all but razor-edge candidates."""
+            cos_pi24 = np.cos(np.pi / 24)
             for pdf in it:
                 pids, rids, ds = [], [], []
-                for (pid,), grp in pdf.groupby(["point_id"], sort=False):
-                    x = float(grp["lng"].iloc[0]); y = float(grp["lat"].iloc[0])
-                    circ = distance.simple_circle(x, y, tol, 24) if tol > 0 else None
-                    for twkb, rid in zip(grp["tile_wkb"], grp["region_id"]):
-                        g = wkb.loads(bytes(twkb))
-                        # exact candidate gate: tile must intersect the 24-gon
-                        # (the reference's refine step before the process hook)
-                        if circ is not None and not predicates.geoms_intersect(g, circ):
-                            continue
-                        segs = predicates.segments_of_rings(core.all_rings(g))
-                        nx, ny, _ = predicates.nearest_on_segments(
-                            np.array([x]), np.array([y]), segs)
-                        d = float(distance.haversine(nx[0], ny[0], x, y))
-                        pids.append(pid); rids.append(rid); ds.append(d)
-                yield pd.DataFrame({"point_id": pids, "region_id": rids, "dist_m": ds}) \
-                    .astype({"point_id": "int64", "region_id": "int64", "dist_m": "float64"})
+                for (rid, twkb), grp in pdf.groupby(["region_id", "tile_wkb"], sort=False):
+                    g = wkb.loads(bytes(twkb))
+                    segs = predicates.segments_of_rings(core.all_rings(g))
+                    px = grp["lng"].to_numpy()
+                    py = grp["lat"].to_numpy()
+                    nx, ny, d_planar = predicates.nearest_on_segments(px, py, segs)
+                    keep = np.ones(len(px), dtype=bool)
+                    if tol > 0:
+                        # per-point circle radii in degrees — the exact
+                        # CreateSimpleCircle step-ladder arithmetic
+                        km = tol / 1000.0
+                        a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
+                        b = distance.haversine(px, py, px + a, py)
+                        c = distance.haversine(px, py, px, py + a)
+                        rb = tol / b * a
+                        rc = tol / c * a
+                        rmin = np.minimum(rb, rc) * cos_pi24
+                        rmax = np.maximum(rb, rc)
+                        definite = d_planar <= rmin
+                        impossible = d_planar > rmax
+                        keep = definite.copy()
+                        for i in np.nonzero(~definite & ~impossible)[0]:
+                            circ = distance.simple_circle(px[i], py[i], tol, 24)
+                            keep[i] = predicates.geoms_intersect(g, circ)
+                    if keep.any():
+                        d = distance.haversine(nx[keep], ny[keep], px[keep], py[keep])
+                        pids.append(grp["point_id"].to_numpy()[keep])
+                        rids.append(np.full(int(keep.sum()), rid, dtype="int64"))
+                        ds.append(np.asarray(d, dtype="float64"))
+                if pids:
+                    yield pd.DataFrame({
+                        "point_id": np.concatenate(pids).astype("int64"),
+                        "region_id": np.concatenate(rids),
+                        "dist_m": np.concatenate(ds),
+                    })
+                else:
+                    yield pd.DataFrame({
+                        "point_id": pd.Series([], dtype="int64"),
+                        "region_id": pd.Series([], dtype="int64"),
+                        "dist_m": pd.Series([], dtype="float64"),
+                    })
 
         dists = cand.mapInPandas(dist_fn, dist_schema)
         per_feature = dists.groupBy("point_id", "region_id").agg(
@@ -284,7 +356,7 @@ class SpatialEngine:
         MULTIPOLYGON probe. Returns (probe_id, region_id [, props])
         for every boundary the probe intersects (boundary-touch counts).
         """
-        levels = self.res_levels
+        base_res = self.base_res
         cover_schema = StructType([
             StructField("probe_id", LongType()),
             StructField("wkt", StringType()),
@@ -298,12 +370,10 @@ class SpatialEngine:
                     g = wkt_codec.loads(w_)
                     if core.is_empty(g):
                         continue
-                    b = core.bounds(g)
-                    for r in levels:
-                        cells = grid.cover_bbox(*b, r)
-                        pid_o.extend([pid] * len(cells))
-                        wkt_o.extend([w_] * len(cells))
-                        cid_o.extend(cells.tolist())
+                    cells = grid.cover_bbox(*core.bounds(g), base_res)
+                    pid_o.extend([pid] * len(cells))
+                    wkt_o.extend([w_] * len(cells))
+                    cid_o.extend(cells.tolist())
                 yield pd.DataFrame({"probe_id": pid_o, "wkt": wkt_o, "cell_id": cid_o}) \
                     .astype({"probe_id": "int64", "cell_id": "int64"})
 
@@ -316,13 +386,14 @@ class SpatialEngine:
         ])
 
         def refine_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            probe_cache: dict[int, dict] = {}
             for pdf in it:
                 seen: set[tuple[int, int]] = set()
-                probe_cache: dict[int, dict] = {}
                 pids, rids = [], []
-                for pid, w_, cid, rid, kind, twkb in zip(
-                    pdf["probe_id"], pdf["wkt"], pdf["cell_id"], pdf["region_id"],
-                    pdf["kind"], pdf["tile_wkb"],
+                for pid, w_, rid, kind, mnx, mny, mxx, mxy, twkb in zip(
+                    pdf["probe_id"], pdf["wkt"], pdf["region_id"], pdf["kind"],
+                    pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
+                    pdf["tile_wkb"],
                 ):
                     key = (pid, rid)
                     if key in seen:  # per-feature first-hit short-circuit
@@ -330,9 +401,8 @@ class SpatialEngine:
                     g = probe_cache.get(pid)
                     if g is None:
                         g = probe_cache[pid] = wkt_codec.loads(w_)
-                    if kind == 1:
-                        minx, miny, maxx, maxy = grid.cell_bounds(int(cid))
-                        tile = distance.rect(minx, miny, maxx, maxy)
+                    if kind != 0:
+                        tile = distance.rect(mnx, mny, mxx, mxy)
                     else:
                         tile = wkb.loads(bytes(twkb))
                     if predicates.geoms_intersect(g, tile):
@@ -343,7 +413,8 @@ class SpatialEngine:
                     {"probe_id": "int64", "region_id": "int64"})
 
         matches = joined.select(
-            "probe_id", "wkt", "cell_id", "region_id", "kind", "tile_wkb"
+            "probe_id", "wkt", "region_id", "kind",
+            "minx", "miny", "maxx", "maxy", "tile_wkb",
         ).mapInPandas(refine_fn, refine_schema).dropDuplicates(["probe_id", "region_id"])
         if not with_props:
             return matches
@@ -393,7 +464,7 @@ class SpatialEngine:
             keep = self.boundaries.filter(where).select("region_id")
             t = t.join(F.broadcast(keep), "region_id", "left_semi")
         grouped = t.groupBy("region_id").agg(
-            F.collect_list(F.struct("cell_id", "kind", "tile_wkb")).alias("tiles"),
+            F.collect_list(F.struct("kind", "minx", "miny", "maxx", "maxy", "tile_wkb")).alias("tiles"),
             F.count("*").alias("n_tiles"),
         )
         schema = StructType([
@@ -408,12 +479,12 @@ class SpatialEngine:
                 for rid, n, tile_list in zip(pdf["region_id"], pdf["n_tiles"], pdf["tiles"]):
                     polys = []
                     for trow in tile_list:
-                        cid, kind, twkb = trow["cell_id"], trow["kind"], trow["tile_wkb"]
-                        if kind == 1:
-                            minx, miny, maxx, maxy = grid.cell_bounds(int(cid))
-                            polys.append(distance.rect(minx, miny, maxx, maxy)["rings"])
+                        if trow["kind"] != 0:
+                            polys.append(distance.rect(
+                                trow["minx"], trow["miny"], trow["maxx"], trow["maxy"]
+                            )["rings"])
                         else:
-                            g = wkb.loads(bytes(twkb))
+                            g = wkb.loads(bytes(trow["tile_wkb"]))
                             polys.append(g["rings"])
                     rids.append(rid)
                     counts.append(n)

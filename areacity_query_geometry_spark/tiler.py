@@ -9,12 +9,23 @@ distributed analog of the reference's 4-point-rectangle shortcut,
 README.md:288-296); boundary cells carry the feature's rings clipped to
 the cell rect (the `polygon.intersection(gridRect)` analog) as WKB.
 
+Single-level join key (hot-path design): every tile is keyed by its
+BASE-resolution cell so the probe side computes exactly ONE cell id per
+point (pure Spark SQL, whole-stage codegen) and the spatial join is a
+plain equi-join with no per-point fan-out. Tiles finer than base_res
+(adaptive splits over dense boundaries) are keyed by their base-res
+ancestor; interior tiles coarser than base_res are expanded to their
+base-res descendants.
+
 Tile schema:
-    cell_id   long    — packed (res, ix, iy), see grid.py
-    res       int     — grid resolution of this tile
+    cell_id   long    — BASE-res cell (the join key)
+    res       int     — actual grid resolution of this tile
     region_id long    — owning feature
     deep      int     — denormalized admin level (join-time pushdown)
-    kind      int     — 1 interior, 0 boundary
+    kind      int     — 1 whole-cell interior (JVM-side accept),
+                        2 interior sub-cell (vectorized rect test),
+                        0 boundary (exact geometry refine)
+    minx,miny,maxx,maxy double — tile cell rect (kind 2 test + stats)
     tile_wkb  binary  — clipped rings (even-odd), null for interior
     n_pts     int     — clipped-ring vertex count (skew statistics)
 """
@@ -24,9 +35,9 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StructField, StructType,
 )
 
 from . import grid
@@ -38,6 +49,10 @@ TILE_SCHEMA = StructType([
     StructField("region_id", LongType()),
     StructField("deep", IntegerType()),
     StructField("kind", IntegerType()),
+    StructField("minx", DoubleType()),
+    StructField("miny", DoubleType()),
+    StructField("maxx", DoubleType()),
+    StructField("maxy", DoubleType()),
     StructField("tile_wkb", BinaryType()),
     StructField("n_pts", IntegerType()),
 ])
@@ -65,10 +80,44 @@ def clip_geom_to_cell(geom: dict, cell_id: int) -> bytes | None:
     return wkb.dumps({"type": "Polygon", "rings": rings_out})
 
 
+def _expand_to_base(cid: int, base_res: int) -> np.ndarray:
+    """All base_res descendants of a coarser cell (pure int math)."""
+    r, ix, iy = (int(v) for v in grid.unpack(cid))
+    k = base_res - r
+    n = 1 << k
+    xs = (ix << k) + np.arange(n, dtype=np.int64)
+    ys = (iy << k) + np.arange(n, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return grid.pack(base_res, gx.ravel(), gy.ravel())
+
+
+def _ancestor_at(cid: int, base_res: int) -> int:
+    r, ix, iy = (int(v) for v in grid.unpack(cid))
+    k = r - base_res
+    return int(grid.pack(base_res, ix >> k, iy >> k))
+
+
 def _tile_batches(base_res: int, max_res: int, seg_budget: int):
+    cols = ("cell_id", "res", "region_id", "deep", "kind",
+            "minx", "miny", "maxx", "maxy", "tile_wkb", "n_pts")
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("cell_id", "res", "region_id", "deep", "kind", "tile_wkb", "n_pts")}
+            out = {k: [] for k in cols}
+
+            def emit(key, res, rid, deep, kind, bounds, twkb, npts):
+                out["cell_id"].append(key)
+                out["res"].append(res)
+                out["region_id"].append(rid)
+                out["deep"].append(deep)
+                out["kind"].append(kind)
+                out["minx"].append(bounds[0])
+                out["miny"].append(bounds[1])
+                out["maxx"].append(bounds[2])
+                out["maxy"].append(bounds[3])
+                out["tile_wkb"].append(twkb)
+                out["n_pts"].append(npts)
+
             for rid, deep, gwkb in zip(pdf["region_id"], pdf["deep"], pdf["geom_wkb"]):
                 if gwkb is None:
                     continue  # EMPTY features stay queryable by attribute scan only (T4)
@@ -77,27 +126,32 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                     geom, base_res=base_res, max_res=max_res, seg_budget=seg_budget
                 )
                 for cid, kind in zip(cells.tolist(), kinds.tolist()):
+                    r = cid >> 56
+                    bounds = grid.cell_bounds(cid)
                     if kind == 1:
-                        twkb, npts = None, 0
+                        if r < base_res:
+                            for key in _expand_to_base(cid, base_res).tolist():
+                                emit(key, base_res, rid, deep, 1,
+                                     grid.cell_bounds(key), None, 0)
+                        elif r == base_res:
+                            emit(cid, r, rid, deep, 1, bounds, None, 0)
+                        else:  # interior sub-cell of a dense boundary cell
+                            emit(_ancestor_at(cid, base_res), r, rid, deep, 2,
+                                 bounds, None, 0)
                     else:
                         twkb = clip_geom_to_cell(geom, cid)
                         if twkb is None:
                             continue
-                        npts = (len(twkb) // 16) & 0x7FFFFFFF
-                    out["cell_id"].append(cid)
-                    out["res"].append(int(cid >> 56))
-                    out["region_id"].append(rid)
-                    out["deep"].append(deep)
-                    out["kind"].append(kind)
-                    out["tile_wkb"].append(twkb)
-                    out["n_pts"].append(npts)
+                        key = cid if r == base_res else _ancestor_at(cid, base_res)
+                        emit(key, r, rid, deep, 0, bounds, twkb,
+                             (len(twkb) // 16) & 0x7FFFFFFF)
             yield pd.DataFrame(out)
     return fn
 
 
 def build_tiles(
     boundaries: DataFrame,
-    base_res: int = 12,
+    base_res: int = 10,
     max_res: int | None = None,
     seg_budget: int = 48,
 ) -> DataFrame:
