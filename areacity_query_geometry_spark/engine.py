@@ -37,20 +37,9 @@ from . import grid, tiler
 from .geom import core, distance, predicates, wkb, wkt as wkt_codec
 from .sources import geojson_source
 
-_REFINE_SCHEMA = StructType([
-    StructField("point_id", LongType()),
-    StructField("region_id", LongType()),
-])
-
-_EMPTY_REFINE = pd.DataFrame({
-    "point_id": pd.Series([], dtype="int64"),
-    "region_id": pd.Series([], dtype="int64"),
-})
-
-
-def _refine_point_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Exact point refine, vectorized per (cell, region) group — the JTS
-    `subGeom.intersects(point)` analog
+def _make_refine_fn(id_cols: tuple[str, ...]):
+    """Build the exact point-refine UDF, vectorized per (cell, region)
+    group — the JTS `subGeom.intersects(point)` analog
     (/root/reference/AreaCityQuery.java:260-263).
 
     A group may hold several tiles (adaptive sub-tiles keyed by their
@@ -58,55 +47,63 @@ def _refine_point_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     even-odd + on-boundary tests against the clipped rings. Prepared
     geometry is cached across Arrow batches for the task's lifetime, so
     each tile's WKB is decoded once per task, not once per batch.
+    `id_cols` are passed through opaquely (e.g. point_id, or
+    (doc_id, span_idx) for the docs-table join).
     """
-    cache: dict[tuple[int, int], list] = {}
-    for pdf in it:
-        if len(pdf) == 0:
-            yield _EMPTY_REFINE
-            continue
-        out_pid = []
-        out_rid = []
-        for (cid, rid), grp in pdf.groupby(["cell_id", "region_id"], sort=False):
-            key = (cid, rid)
-            entries = cache.get(key)
-            if entries is None:
-                entries = []
-                seen_rows = set()
-                for kind, mnx, mny, mxx, mxy, twkb in zip(
-                    grp["kind"], grp["minx"], grp["miny"],
-                    grp["maxx"], grp["maxy"], grp["tile_wkb"],
-                ):
-                    rk = (kind, mnx, mny, mxx, mxy)
-                    if rk in seen_rows:
-                        continue
-                    seen_rows.add(rk)
+    id_list = list(id_cols)
+
+    def _refine_point_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], list] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                out = pdf[id_list].copy()
+                out["region_id"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            out_parts = []
+            for (cid, rid), grp in pdf.groupby(["cell_id", "region_id"], sort=False):
+                key = (cid, rid)
+                entries = cache.get(key)
+                if entries is None:
+                    entries = []
+                    seen_rows = set()
+                    for kind, mnx, mny, mxx, mxy, twkb in zip(
+                        grp["kind"], grp["minx"], grp["miny"],
+                        grp["maxx"], grp["maxy"], grp["tile_wkb"],
+                    ):
+                        rk = (kind, mnx, mny, mxx, mxy)
+                        if rk in seen_rows:
+                            continue
+                        seen_rows.add(rk)
+                        if kind == 2:
+                            entries.append((2, (mnx, mny, mxx, mxy), None))
+                        else:
+                            g = wkb.loads(bytes(twkb))
+                            segs = predicates.segments_of_rings(core.all_rings(g))
+                            entries.append((0, None, segs))
+                    cache[key] = entries
+                pts = grp.drop_duplicates(id_list) if len(entries) > 1 else grp
+                px = pts["lng"].to_numpy()
+                py = pts["lat"].to_numpy()
+                hit = np.zeros(len(pts), dtype=bool)
+                for kind, rect, segs in entries:
                     if kind == 2:
-                        entries.append((2, (mnx, mny, mxx, mxy), None))
+                        mnx, mny, mxx, mxy = rect
+                        hit |= (px >= mnx) & (px < mxx) & (py >= mny) & (py < mxy)
                     else:
-                        g = wkb.loads(bytes(twkb))
-                        segs = predicates.segments_of_rings(core.all_rings(g))
-                        entries.append((0, None, segs))
-                cache[key] = entries
-            pts = grp.drop_duplicates("point_id") if len(entries) > 1 else grp
-            px = pts["lng"].to_numpy()
-            py = pts["lat"].to_numpy()
-            hit = np.zeros(len(pts), dtype=bool)
-            for kind, rect, segs in entries:
-                if kind == 2:
-                    mnx, mny, mxx, mxy = rect
-                    hit |= (px >= mnx) & (px < mxx) & (py >= mny) & (py < mxy)
-                else:
-                    hit |= predicates.points_intersect_prepared(px, py, segs)
-            if hit.any():
-                out_pid.append(pts["point_id"].to_numpy()[hit])
-                out_rid.append(np.full(int(hit.sum()), rid, dtype="int64"))
-        if out_pid:
-            yield pd.DataFrame({
-                "point_id": np.concatenate(out_pid).astype("int64"),
-                "region_id": np.concatenate(out_rid),
-            })
-        else:
-            yield _EMPTY_REFINE
+                        hit |= predicates.points_intersect_prepared(px, py, segs)
+                if hit.any():
+                    sub = pts.loc[hit, id_list].copy()
+                    sub["region_id"] = np.int64(rid)
+                    out_parts.append(sub)
+            if out_parts:
+                yield pd.concat(out_parts, ignore_index=True)
+            else:
+                out = pdf[id_list].iloc[:0].copy()
+                out["region_id"] = pd.Series([], dtype="int64")
+                yield out
+
+    return _refine_point_batches
 
 
 class SpatialEngine:
@@ -164,8 +161,9 @@ class SpatialEngine:
         return F.broadcast(t) if self.broadcast_tiles else t
 
     def _match_points(self, points: DataFrame, where: str | None = None,
-                      lng="lng", lat="lat") -> DataFrame:
-        """Core spatial join: (point_id, lng, lat) → (point_id, region_id).
+                      lng="lng", lat="lat",
+                      id_cols: tuple[str, ...] = ("point_id",)) -> DataFrame:
+        """Core spatial join: (*id_cols, lng, lat) → (*id_cols, region_id).
 
         kind=1 (whole-cell interior) hits never leave the JVM; kind 0/2
         rows cross into the Arrow refine. A point hits at most one tile
@@ -174,13 +172,16 @@ class SpatialEngine:
         """
         probe = self._probe_cells(points, lng, lat)
         joined = probe.join(self._tiles_for(where), "cell_id")
-        interior = joined.filter(F.col("kind") == 1).select("point_id", "region_id")
+        interior = joined.filter(F.col("kind") == 1).select(*id_cols, "region_id")
         boundary = joined.filter(F.col("kind") != 1).select(
-            "point_id", F.col(lng).alias("lng"), F.col(lat).alias("lat"),
+            *id_cols, F.col(lng).alias("lng"), F.col(lat).alias("lat"),
             "cell_id", "region_id", "kind", "minx", "miny", "maxx", "maxy",
             "tile_wkb",
         )
-        refined = boundary.mapInPandas(_refine_point_batches, _REFINE_SCHEMA)
+        refine_schema = StructType(
+            [points.schema[c] for c in id_cols] + [StructField("region_id", LongType())]
+        )
+        refined = boundary.mapInPandas(_make_refine_fn(id_cols), refine_schema)
         return interior.unionByName(refined)
 
     def _with_props(self, matches: DataFrame) -> DataFrame:
@@ -190,14 +191,15 @@ class SpatialEngine:
     # ---------------------------------------------------------- Q1
 
     def query_points(self, points: DataFrame, where: str | None = None,
-                     with_props: bool = True, lng="lng", lat="lat") -> DataFrame:
+                     with_props: bool = True, lng="lng", lat="lat",
+                     id_cols: tuple[str, ...] = ("point_id",)) -> DataFrame:
         """Q1 — point∩polygon join (≙ QueryPoint, AreaCityQuery.java:87-90).
 
-        points: DataFrame with (point_id long, lng double, lat double).
+        points: DataFrame with (*id_cols, lng double, lat double).
         Returns one row per (point, matching region); edge-touch matches
         both neighbours, hole interiors match none (AreaCityQuery.java:69-85).
         """
-        m = self._match_points(points, where, lng, lat)
+        m = self._match_points(points, where, lng, lat, id_cols)
         return self._with_props(m) if with_props else m
 
     # ---------------------------------------------------------- Q2
