@@ -116,12 +116,20 @@ class SpatialEngine:
         tiles: DataFrame,
         base_res: int,
         broadcast_tiles: bool = True,
+        salt_buckets: int = 0,
     ):
+        """salt_buckets: when the tile set is too large to broadcast
+        (broadcast_tiles=False) the join becomes a shuffle join on
+        cell_id, and dense-city probe skew concentrates on few cells —
+        salting replicates each tile row S× under (cell_id, salt) and
+        spreads probe rows pseudo-randomly over the S replicas
+        (SURVEY.md §4 skew row). 0 disables."""
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
         self.base_res = base_res
         self.broadcast_tiles = broadcast_tiles
+        self.salt_buckets = salt_buckets
 
     # ------------------------------------------------------------ build
 
@@ -171,7 +179,15 @@ class SpatialEngine:
         deduped inside the refine group, so no dedup shuffle is needed.
         """
         probe = self._probe_cells(points, lng, lat)
-        joined = probe.join(self._tiles_for(where), "cell_id")
+        if not self.broadcast_tiles and self.salt_buckets > 1:
+            s = self.salt_buckets
+            salted_tiles = self._tiles_for(where).withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+            probe = probe.withColumn(
+                "salt", F.pmod(F.xxhash64(F.col(lng), F.col(lat)), F.lit(s)).cast("int"))
+            joined = probe.join(salted_tiles, ["cell_id", "salt"])
+        else:
+            joined = probe.join(self._tiles_for(where), "cell_id")
         interior = joined.filter(F.col("kind") == 1).select(*id_cols, "region_id")
         boundary = joined.filter(F.col("kind") != 1).select(
             *id_cols, F.col(lng).alias("lng"), F.col(lat).alias("lat"),

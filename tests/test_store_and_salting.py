@@ -1,0 +1,70 @@
+"""Tile-store persistence (wkbs-cache analog) and salted shuffle-join
+equivalence tests."""
+import pytest
+from pyspark.sql import functions as F
+
+from areacity_query_geometry_spark.engine import SpatialEngine
+from areacity_query_geometry_spark.sources import tile_store
+
+PROVINCE = "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json"
+
+
+def _pts(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (73.0 + (F.col("id") * 37 % 62000) / 1000.0).alias("lng"),
+        (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
+    )
+
+
+def _hits(engine, pts):
+    rows = engine.query_points(pts, with_props=False).collect()
+    return sorted((r.point_id, r.region_id) for r in rows)
+
+
+class TestTileStore:
+    def test_build_save_load_roundtrip(self, tmp_path, spark, province_engine):
+        store = str(tmp_path / "store")
+        eng2 = tile_store.load_or_build(spark, PROVINCE, store, base_res=10)
+        pts = _pts(spark)
+        assert _hits(eng2, pts) == _hits(province_engine, pts)
+        # second load must come from the store (metadata valid)
+        assert tile_store.available(store, 10, 14, 48)
+        eng3 = tile_store.load_or_build(spark, PROVINCE, store, base_res=10)
+        assert eng3.tiles.count() == eng2.tiles.count()
+
+    def test_param_mismatch_invalidates(self, tmp_path, spark):
+        store = str(tmp_path / "store2")
+        tile_store.load_or_build(spark, PROVINCE, store, base_res=9)
+        # different resolution → stale store must NOT be accepted
+        assert not tile_store.available(store, 10, 14, 48)
+
+    def test_version_mismatch_invalidates(self, tmp_path, spark):
+        import json
+        import os
+
+        store = str(tmp_path / "store3")
+        tile_store.load_or_build(spark, PROVINCE, store, base_res=9)
+        meta = json.load(open(os.path.join(store, "_meta.json")))
+        meta["grid_version"] = -1
+        json.dump(meta, open(os.path.join(store, "_meta.json"), "w"))
+        assert not tile_store.available(store, 9, 13, 48)
+
+
+class TestSaltedJoin:
+    def test_salted_shuffle_equals_broadcast(self, spark, province_engine):
+        salted = SpatialEngine(
+            spark, province_engine.boundaries, province_engine.tiles,
+            base_res=province_engine.base_res,
+            broadcast_tiles=False, salt_buckets=4,
+        )
+        pts = _pts(spark, 800)
+        assert _hits(salted, pts) == _hits(province_engine, pts)
+
+    def test_plain_shuffle_equals_broadcast(self, spark, province_engine):
+        smj = SpatialEngine(
+            spark, province_engine.boundaries, province_engine.tiles,
+            base_res=province_engine.base_res, broadcast_tiles=False,
+        )
+        pts = _pts(spark, 800)
+        assert _hits(smj, pts) == _hits(province_engine, pts)
