@@ -194,6 +194,177 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_I16 = "(VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) AS t(i)"
+_MH_P = 1_000_000_007
+
+
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH banding (4 bands × 4 rows) → bucket self-join →
+    exact Jaccard verification of candidates. Fully deterministic: the
+    shingle hash is the md5-prefix integer, identical across engines."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+        WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        shingles AS (
+            SELECT doc_id, explode(array_distinct(transform(
+                sequence(0, size(w) - 3),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g
+            FROM words WHERE size(w) >= 3
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {_MH_P} AS h0
+            FROM shingles
+        ),
+        sig AS (
+            SELECT doc_id, i,
+                   min(((2 * i + 3) * h0 + 7 * i + 11) % {_MH_P}) AS mh
+            FROM h CROSS JOIN {_I16}
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
+                   array_join(array_sort(collect_list(
+                       concat(CAST(i AS STRING), ':', CAST(mh AS STRING)))), '-') AS bsig
+            FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INT)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        verified AS (
+            SELECT c.d1, c.d2, count(*) AS shared
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.d1
+            JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+            GROUP BY c.d1, c.d2
+        )
+        SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
+               round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
+        FROM verified v
+        JOIN counts c1 ON v.d1 = c1.doc_id
+        JOIN counts c2 ON v.d2 = c2.doc_id
+        WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= 0.05
+    """)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct word tokens (md5-prefix token hash)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+        WITH tokens AS (
+            SELECT DISTINCT doc_id, explode(split(text, ' ')) AS tok FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+            FROM tokens
+        ),
+        bits AS (
+            SELECT doc_id, i,
+                   sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN {_I16}
+            GROUP BY doc_id, i
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash16
+        FROM bits GROUP BY doc_id
+    """)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with SimHash hamming distance ≤ 2."""
+    sig = simhash_signatures(spark, sf_dir)
+    sig.createOrReplaceTempView("simhash_sigs")
+    return spark.sql("""
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(a.simhash16 ^ b.simhash16) AS BIGINT) AS hamming
+        FROM simhash_sigs a JOIN simhash_sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(a.simhash16 ^ b.simhash16) <= 2
+    """)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), brute force."""
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql("""
+        WITH e AS (
+            SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   sqrt(aggregate(v, 0D, (acc, z) -> acc + z * z)) AS nrm
+            FROM e
+        ),
+        pairs AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+                       / (a.nrm * b.nrm) AS sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+               round(sim, 4) AS sim
+        FROM pairs WHERE sim >= 0.4
+    """)
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-bit LSH bucketing (hyperplanes = the first 4
+    embeddings — deterministic, no RNG) then top-3 per query within its
+    bucket. The bucket join replaces the all-pairs cross join — this is
+    the 100TB-shaped variant of embedding_topk_cosine."""
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql("""
+        WITH e AS (
+            SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        hp AS (SELECT vec_id AS hid, v AS hv FROM e WHERE vec_id < 4),
+        sgn AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN aggregate(zip_with(e.v, hp.hv, (x, y) -> x * y),
+                                           0D, (acc, z) -> acc + z) > 0
+                            THEN CAST(1 AS BIGINT) << CAST(hp.hid AS INT) ELSE 0 END)
+                       AS bucket
+            FROM e CROSS JOIN hp GROUP BY e.vec_id
+        ),
+        n AS (
+            SELECT e.vec_id, e.v, s.bucket,
+                   sqrt(aggregate(e.v, 0D, (acc, z) -> acc + z * z)) AS nrm
+            FROM e JOIN sgn s ON e.vec_id = s.vec_id
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket, nrm AS qn FROM n WHERE vec_id < 8),
+        sims AS (
+            SELECT q.qid, n.vec_id AS nid,
+                   aggregate(zip_with(q.qv, n.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+                       / (q.qn * n.nrm) AS sim
+            FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id != q.qid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM sims
+        )
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+               round(sim, 4) AS sim
+        FROM ranked WHERE rn <= 3
+    """)
+
+
+def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count: alnum runs + punctuation marks."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(r"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_word_tokens,
+               CAST(size(regexp_extract_all(text, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_punct_tokens
+        FROM documents
+    """)
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbours for query vectors vec_id < 8."""
     _register(spark, sf_dir, ("embeddings",))
@@ -240,7 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "minhash_lsh_near_dup": minhash_lsh_near_dup,
+        "simhash_signatures": simhash_signatures,
+        "simhash_near_dup": simhash_near_dup,
         "embedding_topk_cosine": embedding_topk_cosine,
+        "embedding_near_dup": embedding_near_dup,
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "doc_token_bpe": doc_token_bpe,
     }
 
 
@@ -349,6 +526,153 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts c1 ON p.d1 = c1.doc_id
             JOIN counts c2 ON p.d2 = c2.doc_id
             WHERE CAST(p.shared AS DOUBLE) / (c1.n + c2.n - p.shared) >= 0.08
+        """,
+        "minhash_lsh_near_dup": f"""
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shingles AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+                FROM words WHERE len(w) >= 3
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_MH_P} AS h0
+                FROM shingles
+            ),
+            sig AS (
+                SELECT doc_id, i,
+                       min(((2 * i + 3) * h0 + 7 * i + 11) % {_MH_P}) AS mh
+                FROM h CROSS JOIN {_I16}
+                GROUP BY doc_id, i
+            ),
+            bands AS (
+                SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
+                       array_to_string(list_sort(list(
+                           CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), '-') AS bsig
+                FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INT)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            verified AS (
+                SELECT c.d1, c.d2, count(*) AS shared
+                FROM cand c
+                JOIN shingles s1 ON s1.doc_id = c.d1
+                JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+                GROUP BY c.d1, c.d2
+            )
+            SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
+                   round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
+            FROM verified v
+            JOIN counts c1 ON v.d1 = c1.doc_id
+            JOIN counts c2 ON v.d2 = c2.doc_id
+            WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= 0.05
+        """,
+        "simhash_signatures": f"""
+            WITH tokens AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM tokens
+            ),
+            bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN {_I16}
+                GROUP BY doc_id, i
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash16
+            FROM bits GROUP BY doc_id
+        """,
+        "simhash_near_dup": f"""
+            WITH tokens AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM tokens
+            ),
+            bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN {_I16}
+                GROUP BY doc_id, i
+            ),
+            sigs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash16
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+            ),
+            pairs AS (
+                SELECT a.vec_id AS v1, b.vec_id AS v2,
+                       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+                   round(sim, 4) AS sim
+            FROM pairs WHERE sim >= 0.4
+        """,
+        "embedding_ann_lsh": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            hp AS (SELECT vec_id AS hid, v AS hv FROM e WHERE vec_id < 4),
+            sgn AS (
+                SELECT e.vec_id,
+                       sum(CASE WHEN list_dot_product(e.v, hp.hv) > 0
+                                THEN CAST(1 AS BIGINT) << CAST(hp.hid AS INT) ELSE 0 END)
+                           AS bucket
+                FROM e CROSS JOIN hp GROUP BY e.vec_id
+            ),
+            n AS (
+                SELECT e.vec_id, e.v, s.bucket,
+                       sqrt(list_dot_product(e.v, e.v)) AS nrm
+                FROM e JOIN sgn s ON e.vec_id = s.vec_id
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv, bucket, nrm AS qn FROM n WHERE vec_id < 8),
+            sims AS (
+                SELECT q.qid, n.vec_id AS nid,
+                       list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS sim
+                FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT qid, nid, sim,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+                FROM sims
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+                   round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 3
+        """,
+        "doc_token_bpe": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct_tokens
+            FROM documents
         """,
         "embedding_topk_cosine": """
             WITH e AS (
