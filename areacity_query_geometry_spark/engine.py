@@ -146,8 +146,12 @@ class SpatialEngine:
         boundaries = geojson_source.read_boundaries(spark, path)
         tiles = tiler.build_tiles(boundaries, base_res, max_res, seg_budget)
         if cache:
-            boundaries = boundaries.cache()
-            tiles = tiles.cache()
+            # localCheckpoint materializes AND truncates lineage, which keeps
+            # the tile table usable in stream-static joins (the raw plan
+            # contains build-time-only expressions the streaming analyzer
+            # rejects, e.g. the line-ordinal window)
+            boundaries = boundaries.localCheckpoint(eager=True)
+            tiles = tiles.localCheckpoint(eager=True)
         n_tiles = tiles.count()
         return cls(spark, boundaries, tiles, base_res,
                    broadcast_tiles=n_tiles < 3_000_000)

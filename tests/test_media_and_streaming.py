@@ -1,0 +1,75 @@
+"""Multimodal stub plumbing + structured-streaming point lookup tests."""
+import pytest
+from pyspark.sql import functions as F
+
+from areacity_query_geometry_spark import docs as docsmod
+from areacity_query_geometry_spark.functions import filters, media
+from areacity_query_geometry_spark.streaming import point_stream
+
+
+class TestMediaPipeline:
+    def test_decode_media_fake_features(self, spark):
+        d = docsmod.generate_docs(spark, n_docs=100, seed=3)
+        feats = media.decode_media(d, fake=True)
+        rows = feats.collect()
+        assert len(rows) > 20
+        r = rows[0]
+        assert len(r.feature) == media.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+        assert r.kind in ("image", "audio")
+        # deterministic across runs
+        rows2 = media.decode_media(d, fake=True).collect()
+        assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+    def test_schema(self, spark):
+        d = docsmod.generate_docs(spark, n_docs=10, seed=3)
+        feats = media.decode_media(d, fake=True)
+        assert feats.schema == media.MEDIA_FEATURE_SCHEMA
+
+
+class TestFilters:
+    def test_ext_path_wildcards(self, province_engine):
+        assert filters.ext_path_where("*湖北*") == "ext_path LIKE '%湖北%'"
+        assert filters.ext_path_where("湖北*") == "ext_path LIKE '湖北%'"
+        assert filters.ext_path_where("*湖北") == "ext_path LIKE '%湖北'"
+        assert filters.ext_path_where("湖北省") == "ext_path = '湖北省'"
+        got = province_engine.read_wkt_features(
+            where=filters.ext_path_where("*湖北*"), with_wkt=False).collect()
+        assert [r.name for r in got] == ["湖北省"]
+
+    def test_id_where_rejects_injection(self):
+        with pytest.raises(ValueError):
+            filters.id_where("1 OR 1=1")
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, province_engine, tmp_path):
+        batch_pts = spark.range(200).select(
+            F.col("id").alias("point_id"),
+            (73.0 + (F.col("id") * 37 % 62000) / 1000.0).alias("lng"),
+            (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
+        )
+        want = sorted(
+            (r.point_id, r.region_id)
+            for r in province_engine.query_points(batch_pts, with_props=False).collect()
+        )
+
+        src = str(tmp_path / "pts")
+        batch_pts.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("point_id long, lng double, lat double")
+            .parquet(src)
+        )
+        point_stream.run_to_memory(province_engine, stream, "stream_hits")
+        got = sorted(
+            (r.point_id, r.region_id)
+            for r in spark.sql("SELECT * FROM stream_hits").collect()
+        )
+        assert got == want
+
+    def test_rejects_batch_df(self, spark, province_engine):
+        batch = spark.range(3).select(
+            F.col("id").alias("point_id"),
+            F.lit(100.0).alias("lng"), F.lit(30.0).alias("lat"))
+        with pytest.raises(ValueError):
+            point_stream.stream_point_lookup(province_engine, batch)
