@@ -115,6 +115,56 @@ def q5_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint docs-table join end to end: interleaved
+    text+geo+media spans (derived deterministically from events so the
+    oracle can reproduce them in SQL), posexplode → geo parse → engine
+    point join, id passthrough = (doc_id, span_idx). Span order/content
+    preserved — the geo span is always index 1 of 3."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    docs = spark.sql(f"""
+        WITH probes AS ({fixtures.point_probes_sql("events")})
+        SELECT CAST(point_id AS STRING) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text', 'header', 'media_ref',
+                              CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'geo',
+                              'text', concat('geo:', CAST(lng AS STRING), ',', CAST(lat AS STRING)),
+                              'media_ref', CAST(NULL AS STRING), 'offset', 1),
+                 named_struct('kind', 'image', 'text', CAST(NULL AS STRING),
+                              'media_ref', concat('blob://img/', CAST(point_id AS STRING)),
+                              'offset', 2)
+               ) AS spans
+        FROM probes
+    """)
+    from areacity_query_geometry_spark import docs as docsmod
+
+    pts = docsmod.geo_span_points(docs)
+    m = eng.query_points(pts, with_props=True, id_cols=("doc_id", "span_idx"))
+    return m.select(
+        F.col("doc_id"),
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
+def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check): deterministic docs →
+    media spans → Arrow-batched feature extraction (stubbed decode)."""
+    from areacity_query_geometry_spark import docs as docsmod
+    from areacity_query_geometry_spark.functions import media
+
+    docs = docsmod.generate_docs(spark, n_docs=500, seed=42)
+    feats = media.decode_media(docs, fake=True)
+    return feats.select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "kind",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4)
+            .alias("feature_sum"),
+    )
+
+
 # ----------------------------------------------------------------- pipeline
 
 _STOPWORDS = "'the','of','and','to','a','in','is','it','on','for'"
@@ -406,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_rect_probe_join": q3_rect_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
         "q5_tile_stats": q5_tile_stats,
+        "doc_geo_join": doc_geo_join,
+        "media_span_features": media_span_features,
         "doc_token_stats": doc_token_stats,
         "doc_lang_quality": doc_lang_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -475,6 +527,17 @@ def oracle_sql() -> dict[str, str]:
                    code AS name
             FROM {regions}
             WHERE deep >= 2 AND code LIKE 'D0%'
+        """,
+        "doc_geo_join": f"""
+            WITH probes AS ({probes})
+            SELECT DISTINCT CAST(p.point_id AS VARCHAR) AS doc_id,
+                   CAST(1 AS BIGINT) AS span_idx,
+                   r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+            FROM probes p
+            JOIN {regions}
+              ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
+             AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                      AND p.lat > r.hy0 AND p.lat < r.hy1)
         """,
         "doc_token_stats": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

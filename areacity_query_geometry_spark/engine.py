@@ -296,11 +296,42 @@ class SpatialEngine:
         m = self._match_points(points, where, lng, lat, id_cols)
         return self._with_props(m) if with_props else m
 
+    def query_points_with_metrics(self, points: DataFrame,
+                                  where: str | None = None,
+                                  lng="lng", lat="lat"):
+        """Q1 + the reference's QueryResult counters
+        (AreaCityQuery.java:1611-1657): returns (df, observations) where
+        observations = {"interior": Observation, "refined": Observation};
+        after an action on df, `obs.get` yields {"rows": n} — interior ≙
+        the no-exact-test fast path, refined ≙ ExactHitCount."""
+        from pyspark.sql import Observation
+
+        probe = self._probe_cells(points, lng, lat)
+        tiles_all = self._tiles_for(where)
+        obs_i, obs_r = Observation(), Observation()
+        interior = probe.join(
+            tiles_all.filter(F.col("kind") == 1), "cell_id"
+        ).select("point_id", "region_id").observe(
+            obs_i, F.count(F.lit(1)).alias("rows"))
+        tiles_b = tiles_all.filter(F.col("kind") != 1)
+        bpts = probe.join(
+            F.broadcast(tiles_b.select("cell_id").distinct()), "cell_id", "left_semi")
+        brows = bpts.join(tiles_b, "cell_id").select(
+            "point_id", F.col(lng).alias("lng"), F.col(lat).alias("lat"),
+            "cell_id", "region_id", "kind", "minx", "miny", "maxx", "maxy",
+            "tile_wkb")
+        refine_schema = StructType([
+            points.schema["point_id"], StructField("region_id", LongType())])
+        refined = brows.mapInPandas(
+            _make_refine_fn(("point_id",)), refine_schema
+        ).observe(obs_r, F.count(F.lit(1)).alias("rows"))
+        return interior.unionByName(refined), {"interior": obs_i, "refined": obs_r}
+
     # ---------------------------------------------------------- Q2
 
     def query_points_with_tolerance(
         self, points: DataFrame, tolerance_m: float,
-        where: str | None = None, lng="lng", lat="lat",
+        where: str | None = None, lng="lng", lat="lat", k: int = 1,
     ) -> DataFrame:
         """Q2 — nearest-boundary fallback (≙ QueryPointWithTolerance,
         /root/reference/AreaCityQuery.java:102-163).
@@ -424,9 +455,11 @@ class SpatialEngine:
             F.broadcast(self.boundaries.select(
                 "region_id", "id", "pid", "deep", "name", "ext_path", "prop_json")),
             "region_id")
+        # the reference is k=1 per deep level (AreaCityQuery.java:136-141);
+        # generalizing k is the same window with rn <= k
         w = Window.partitionBy("point_id", "deep").orderBy("dist_m", "region_id")
         winners = joined.withColumn("_rn", F.row_number().over(w)) \
-                        .filter(F.col("_rn") == 1).drop("_rn")
+                        .filter(F.col("_rn") <= k).drop("_rn")
         # reference prop annotation (AreaCityQuery.java:142):
         #   {...props, "PointDistanceID": N, "PointDistance": D.DD}
         annotated = winners.withColumn(
