@@ -1,0 +1,98 @@
+"""Observe-metrics, kNN k>1, and hypothesis property tests for the
+geometry kernel."""
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from areacity_query_geometry_spark.geom import core, predicates, wkb, wkt
+
+
+class TestMetrics:
+    def test_query_metrics_counts(self, spark, province_engine):
+        pts = spark.range(2000).select(
+            F.col("id").alias("point_id"),
+            (73.0 + (F.col("id") * 37 % 62000) / 1000.0).alias("lng"),
+            (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
+        )
+        df, obs = province_engine.query_points_with_metrics(pts)
+        total = df.count()
+        interior = obs["interior"].get["rows"]
+        refined = obs["refined"].get["rows"]
+        assert interior + refined == total
+        assert interior > 0
+        # equals plain query_points
+        assert total == province_engine.query_points(pts, with_props=False).count()
+
+
+class TestKnn:
+    def test_k2_returns_two_per_level(self, spark, province_engine):
+        pts = spark.createDataFrame(
+            [(0, 121.993491, 29.524288)], "point_id long, lng double, lat double")
+        r1 = province_engine.query_points_with_tolerance(pts, -1, k=1).collect()
+        r2 = province_engine.query_points_with_tolerance(pts, -1, k=2).collect()
+        assert len(r1) == 1 and len(r2) == 2
+        d = sorted(r.point_distance for r in r2)
+        assert r1[0].point_distance == d[0]  # k=1 winner is the nearest
+        assert d[0] < d[1]
+
+
+coord = st.floats(min_value=-179.0, max_value=179.0, allow_nan=False,
+                  width=64).map(lambda v: round(v, 6))
+
+
+class TestKernelProperties:
+    @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_wkb_roundtrip(self, pts):
+        g = core.polygon(pts + [pts[0]])
+        g2 = wkb.loads(wkb.dumps(g))
+        np.testing.assert_array_equal(g2["rings"][0], g["rings"][0])
+
+    @given(st.lists(st.tuples(coord, coord), min_size=2, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_wkt_roundtrip_linestring(self, pts):
+        g = core.linestring(pts)
+        g2 = wkt.loads(wkt.dumps(g))
+        np.testing.assert_allclose(g2["xy"], g["xy"], rtol=0, atol=0)
+
+    @given(
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.floats(min_value=0.1, max_value=5),
+        st.floats(min_value=0.1, max_value=5),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_rect_pip_matches_interval_logic(self, x0, y0, w, h):
+        """PIP on an axis-aligned rect == closed interval containment."""
+        ring = core.ensure_closed(np.array(
+            [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]))
+        rng = np.random.default_rng(0)
+        px = rng.uniform(x0 - 1, x0 + w + 1, 64)
+        py = rng.uniform(y0 - 1, y0 + h + 1, 64)
+        got = predicates.points_intersect_rings(px, py, [ring])
+        want = (px >= x0) & (px <= x0 + w) & (py >= y0) & (py <= y0 + h)
+        assert np.array_equal(got, want)
+
+    @given(st.integers(min_value=0, max_value=10_000_000),
+           st.integers(min_value=4, max_value=20))
+    @settings(max_examples=200, deadline=None)
+    def test_cell_contains_its_point(self, seed, res):
+        from areacity_query_geometry_spark import grid
+
+        rng = np.random.default_rng(seed)
+        lon = float(rng.uniform(-179.9, 179.9))
+        lat = float(rng.uniform(-89.9, 89.9))
+        cid = int(grid.cell_of(lon, lat, res))
+        minx, miny, maxx, maxy = grid.cell_bounds(cid)
+        assert minx <= lon < maxx + 1e-9
+        assert miny <= lat < maxy + 1e-9
+
+    @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=15))
+    @settings(max_examples=100, deadline=None)
+    def test_clip_stays_within_window(self, pts):
+        ring = core.ensure_closed(np.asarray(pts + [pts[0]], dtype=float))
+        out = predicates.clip_ring_to_rect(ring, -50, -50, 50, 50)
+        if len(out):
+            assert out[:, 0].min() >= -50 - 1e-9 and out[:, 0].max() <= 50 + 1e-9
+            assert out[:, 1].min() >= -50 - 1e-9 and out[:, 1].max() <= 50 + 1e-9

@@ -1,0 +1,108 @@
+"""Thin HTTP front-end demo over the engine — S8 parity
+(/root/reference/Test_HttpApiServer.java): the same four verbs, the same
+`{c, v, m}` JSON envelope and `/{instance}/verb` routing, served from
+`http.server`. This is a DEMO driver (one Spark job per request); the
+batch engine is the product — at scale, "requests" are rows of the docs
+table, not HTTP calls.
+
+Usage: python tools/http_api_demo.py [port] [geojson_path]
+Routes (GET):
+    /0/querypoint?lng=..&lat=..[&tolerance=..][&where=deep=0]
+    /0/querygeometry?wkt=POLYGON((...))
+    /0/readwkt?where=name='北京市'
+    /0/debugreadgridsplits?where=deep=0
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+ENGINES = {}
+
+
+def envelope(c: int, v, m: str = "") -> bytes:
+    return json.dumps({"c": c, "v": v, "m": m}, ensure_ascii=False).encode()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, body: bytes, code: int = 200):
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        try:
+            parts = self.path.split("?", 1)
+            route = parts[0].strip("/").split("/")
+            qs = urllib.parse.parse_qs(parts[1]) if len(parts) > 1 else {}
+            if len(route) != 2 or route[0] not in ENGINES:
+                self._send(envelope(404, None, "unknown instance/route"), 404)
+                return
+            eng = ENGINES[route[0]]
+            verb = route[1].lower()
+            where = qs.get("where", [None])[0]
+            if verb == "querypoint":
+                lng = float(qs["lng"][0])
+                lat = float(qs["lat"][0])
+                tol = float(qs.get("tolerance", [0])[0])
+                pts = eng.spark.createDataFrame(
+                    [(0, lng, lat)], "point_id long, lng double, lat double")
+                if tol != 0:
+                    df = eng.query_points_with_tolerance(pts, tol, where=where)
+                    rows = [r.prop_json_out for r in df.collect()]
+                else:
+                    df = eng.query_points(pts, where=where)
+                    rows = [r.prop_json for r in df.collect()]
+            elif verb == "querygeometry":
+                probes = eng.spark.createDataFrame(
+                    [(0, qs["wkt"][0])], "probe_id long, wkt string")
+                rows = [r.prop_json for r in eng.query_geometry(probes, where=where).collect()]
+            elif verb == "readwkt":
+                rows = [
+                    {"prop": r.prop_json, "wkt": r.wkt}
+                    for r in eng.read_wkt_features(where=where).collect()
+                ]
+            elif verb == "debugreadgridsplits":
+                rows = [
+                    {"name": r.name, "n_tiles": r.n_tiles, "wkt": r.tiles_wkt}
+                    for r in eng.debug_tile_splits_wkt(where=where).collect()
+                ]
+            else:
+                self._send(envelope(404, None, f"unknown verb {verb}"), 404)
+                return
+            self._send(envelope(200, {"list": rows}))
+        except Exception as e:  # envelope the error like the reference does
+            self._send(envelope(500, None, f"{type(e).__name__}: {e}"), 500)
+
+
+def main():
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 9527
+    path = sys.argv[2] if len(sys.argv) > 2 else \
+        "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json"
+
+    from pyspark.sql import SparkSession
+
+    from areacity_query_geometry_spark.engine import SpatialEngine
+
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("aqgs-http").config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ENGINES["0"] = SpatialEngine.from_geojson(spark, path, base_res=11)
+    print(f"serving instance 0 ({path}) on :{port}")
+    ThreadingHTTPServer(("127.0.0.1", port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
