@@ -337,28 +337,47 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), brute force."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4).
+
+    Physical strategy: broadcast the normalized matrix and compute each
+    partition's block × full-matrix product with numpy inside
+    mapInPandas — the all-pairs form a SQL higher-order function would
+    evaluate per element, ~100× slower. Semantics identical to the
+    DuckDB brute-force oracle (rounding to 4dp absorbs fp-order noise).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     _register(spark, sf_dir, ("embeddings",))
-    return spark.sql("""
-        WITH e AS (
-            SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
-        ),
-        n AS (
-            SELECT vec_id, v,
-                   sqrt(aggregate(v, 0D, (acc, z) -> acc + z * z)) AS nrm
-            FROM e
-        ),
-        pairs AS (
-            SELECT a.vec_id AS v1, b.vec_id AS v2,
-                   aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
-                       / (a.nrm * b.nrm) AS sim
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
-        )
-        SELECT CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
-               round(sim, 4) AS sim
-        FROM pairs WHERE sim >= 0.4
-    """)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # dims×rows is small; ship the matrix, not the pairs
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(M)
+    schema = StructType([
+        StructField("v1", LongType()), StructField("v2", LongType()),
+        StructField("sim", DoubleType()),
+    ])
+
+    def block(it):
+        all_ids = b_ids.value
+        allM = b_m.value
+        order = np.argsort(all_ids)
+        for pdf in it:
+            bi = pdf["vec_id"].to_numpy()
+            pos = order[np.searchsorted(all_ids[order], bi)]
+            sims = allM[pos] @ allM.T
+            loc, glob = np.nonzero((sims >= 0.4) & (bi[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({
+                "v1": bi[loc].astype("int64"),
+                "v2": all_ids[glob].astype("int64"),
+                "sim": np.round(sims[loc, glob], 4),
+            })
+
+    return emb.select("vec_id").mapInPandas(block, schema)
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
