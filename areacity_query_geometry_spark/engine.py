@@ -384,10 +384,20 @@ class SpatialEngine:
                 self._tiles_for(where).filter(F.col("kind") == 0), "cell_id"
             ).select("point_id", "lng", "lat", "region_id", "tile_wkb")
         else:  # tolerance -1: unlimited — every boundary tile is a candidate
+            # (the reference documents -1 as "traverses all data,
+            # performance extremely low", AreaCityQuery.java:100.)
+            # Reverse-broadcast: the miss points ship to the TILE
+            # partitions (instead of cross-joining WKB bytes onto every
+            # point), each partition min-reduces per (point, region),
+            # and only the tiny partial minima shuffle.
             t = self.tiles.filter(F.col("kind") == 0)
             if where:
                 keep = self.boundaries.filter(where).select("region_id")
                 t = t.join(F.broadcast(keep), "region_id", "left_semi")
+            n_miss = misses.count()
+            if n_miss <= 2_000_000:
+                dists = self._dists_unlimited_reverse(misses, t)
+                return self._finish_tolerance(base_out, dists, k)
             cand = misses.crossJoin(F.broadcast(t.select("region_id", "tile_wkb")))
 
         dist_schema = StructType([
@@ -449,6 +459,57 @@ class SpatialEngine:
                     })
 
         dists = cand.mapInPandas(dist_fn, dist_schema)
+        return self._finish_tolerance(base_out, dists, k)
+
+    def _dists_unlimited_reverse(self, misses: DataFrame, tiles_b: DataFrame) -> DataFrame:
+        """tolerance=-1 distance stage: broadcast the miss points, scan
+        tiles once, min-reduce per (point, region) within each partition."""
+        rows = misses.collect()
+        pid = np.array([r["point_id"] for r in rows], dtype=np.int64)
+        px = np.array([r["lng"] for r in rows], dtype=np.float64)
+        py = np.array([r["lat"] for r in rows], dtype=np.float64)
+        b_pts = self.spark.sparkContext.broadcast((pid, px, py))
+        schema = StructType([
+            StructField("point_id", LongType()),
+            StructField("region_id", LongType()),
+            StructField("dist_m", DoubleType()),
+        ])
+
+        def over_tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid_, px_, py_ = b_pts.value
+            best: dict[int, np.ndarray] = {}
+            for pdf in it:
+                for rid, twkb in zip(pdf["region_id"], pdf["tile_wkb"]):
+                    g = wkb.loads(bytes(twkb))
+                    segs = predicates.segments_of_rings(core.all_rings(g))
+                    nx, ny, _ = predicates.nearest_on_segments(px_, py_, segs)
+                    d = np.asarray(distance.haversine(nx, ny, px_, py_), dtype=np.float64)
+                    arr = best.get(int(rid))
+                    if arr is None:
+                        best[int(rid)] = d
+                    else:
+                        np.minimum(arr, d, out=arr)
+            out_p, out_r, out_d = [], [], []
+            for rid, arr in best.items():
+                out_p.append(pid_)
+                out_r.append(np.full(len(pid_), rid, dtype=np.int64))
+                out_d.append(arr)
+            if out_p:
+                yield pd.DataFrame({
+                    "point_id": np.concatenate(out_p),
+                    "region_id": np.concatenate(out_r),
+                    "dist_m": np.concatenate(out_d),
+                })
+            else:
+                yield pd.DataFrame({
+                    "point_id": pd.Series([], dtype="int64"),
+                    "region_id": pd.Series([], dtype="int64"),
+                    "dist_m": pd.Series([], dtype="float64"),
+                })
+
+        return tiles_b.select("region_id", "tile_wkb").mapInPandas(over_tiles, schema)
+
+    def _finish_tolerance(self, base_out: DataFrame, dists: DataFrame, k: int) -> DataFrame:
         per_feature = dists.groupBy("point_id", "region_id").agg(
             F.min("dist_m").alias("dist_m"))
         joined = per_feature.join(
