@@ -156,6 +156,56 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
     return _refine_point_batches
 
 
+def _dissolve_cells(cell_ids: np.ndarray) -> list[list[np.ndarray]]:
+    """Union same-resolution grid cells into polygon rings by cancelling
+    shared edges (each interior edge appears twice with opposite
+    direction). Holes come back as opposite-wound rings — correct under
+    the engine's even-odd ring semantics. Mixed resolutions fall back to
+    one rect per cell."""
+    if len(cell_ids) == 0:
+        return []
+    res = np.unique(cell_ids >> 56)
+    if len(res) > 1:
+        return [
+            [distance.rect(*grid.cell_bounds(int(c)))["rings"][0]]
+            for c in np.unique(cell_ids)
+        ]
+    edges: dict[tuple, tuple] = {}
+    for c in np.unique(cell_ids):
+        x0, y0, x1, y1 = grid.cell_bounds(int(c))
+        for a, b in (((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                     ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))):
+            if (b, a) in edges:
+                del edges[(b, a)]
+            else:
+                edges[(a, b)] = (a, b)
+    # chain remaining directed edges into closed rings
+    by_start: dict[tuple, list[tuple]] = {}
+    for a, b in edges:
+        by_start.setdefault(a, []).append(b)
+    rings: list[np.ndarray] = []
+    while by_start:
+        start = next(iter(by_start))
+        ring = [start]
+        cur = start
+        while True:
+            nxts = by_start.get(cur)
+            if not nxts:
+                break
+            nxt = nxts.pop()
+            if not nxts:
+                del by_start[cur]
+            ring.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(np.asarray(ring, dtype=np.float64))
+    # group rings into polygons: keep it flat — one "polygon" whose rings
+    # are evaluated even-odd (matches the engine's PIP semantics)
+    return [[r] for r in rings] if rings else []
+
+
 class SpatialEngine:
     """Boundary set + tile index + query operators."""
 
@@ -641,6 +691,70 @@ class SpatialEngine:
                 yield out
 
         return df.mapInPandas(to_wkt, out_schema)
+
+    # ------------------------------------------------- raster ↔ vector
+
+    def rasterize_regions(self, res: int, where: str | None = None) -> DataFrame:
+        """Raster side of raster↔vector: burn each boundary polygon onto
+        the uniform res-`res` cell grid → (region_id, cell_id, kind)
+        with kind 1 = fully-covered cell, 0 = edge cell. (The adaptive
+        tile table is this raster plus clipped edge geometry; this
+        operator exposes the plain uniform-grid mask.)"""
+        df = self.boundaries
+        if where:
+            df = df.filter(where)
+        schema = StructType([
+            StructField("region_id", LongType()),
+            StructField("cell_id", LongType()),
+            StructField("kind", LongType()),
+        ])
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rids, cids, kinds = [], [], []
+                for rid, gwkb in zip(pdf["region_id"], pdf["geom_wkb"]):
+                    if gwkb is None:
+                        continue
+                    geom = wkb.loads(bytes(gwkb))
+                    cells, ks = grid.polyfill_adaptive(
+                        geom, base_res=res, max_res=res)
+                    rids.extend([rid] * len(cells))
+                    cids.extend(cells.tolist())
+                    kinds.extend(ks.tolist())
+                yield pd.DataFrame({"region_id": rids, "cell_id": cids,
+                                    "kind": kinds}).astype("int64")
+
+        src = df.select("region_id", "geom_wkb").repartition(
+            max(2, self.spark.sparkContext.defaultParallelism), "region_id")
+        return src.mapInPandas(fn, schema)
+
+    def vectorize_cells(self, cells: DataFrame,
+                        group_col: str = "region_id") -> DataFrame:
+        """Vector side of raster↔vector: merge each group's cells back
+        into one (Multi)Polygon WKT — adjacent cells are unioned by
+        dissolving shared edges, so a filled k×k block comes back as one
+        ring, not k² rects."""
+        grouped = cells.groupBy(group_col).agg(
+            F.collect_list("cell_id").alias("cell_ids"))
+        schema = StructType([
+            StructField(group_col, LongType()),
+            StructField("n_cells", LongType()),
+            StructField("wkt", StringType()),
+        ])
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                gs, ns, ws = [], [], []
+                for gid, cell_ids in zip(pdf[group_col], pdf["cell_ids"]):
+                    ids = np.asarray(cell_ids, dtype=np.int64)
+                    polys = _dissolve_cells(ids)
+                    gs.append(gid)
+                    ns.append(len(ids))
+                    ws.append(wkt_codec.dumps(
+                        {"type": "MultiPolygon", "polys": polys}))
+                yield pd.DataFrame({group_col: gs, "n_cells": ns, "wkt": ws})
+
+        return grouped.mapInPandas(fn, schema)
 
     # ---------------------------------------------------------- Q5
 
