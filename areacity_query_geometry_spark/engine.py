@@ -710,6 +710,8 @@ class SpatialEngine:
         ])
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .tiler import _expand_to_base
+
             for pdf in it:
                 rids, cids, kinds = [], [], []
                 for rid, gwkb in zip(pdf["region_id"], pdf["geom_wkb"]):
@@ -718,9 +720,16 @@ class SpatialEngine:
                     geom = wkb.loads(bytes(gwkb))
                     cells, ks = grid.polyfill_adaptive(
                         geom, base_res=res, max_res=res)
-                    rids.extend([rid] * len(cells))
-                    cids.extend(cells.tolist())
-                    kinds.extend(ks.tolist())
+                    for cid, k in zip(cells.tolist(), ks.tolist()):
+                        if (cid >> 56) < res:  # coarse interior → expand
+                            for child in _expand_to_base(cid, res).tolist():
+                                rids.append(rid)
+                                cids.append(child)
+                                kinds.append(k)
+                        else:
+                            rids.append(rid)
+                            cids.append(cid)
+                            kinds.append(k)
                 yield pd.DataFrame({"region_id": rids, "cell_id": cids,
                                     "kind": kinds}).astype("int64")
 
