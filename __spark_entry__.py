@@ -150,6 +150,53 @@ def doc_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster↔vector: burn every region onto the uniform res-6 grid
+    (5.625° cells) and count fully-covered vs edge cells per region."""
+    eng = _engine(spark)
+    ras = eng.rasterize_regions(6)
+    out = ras.groupBy("region_id").agg(
+        F.sum(F.expr("CAST(kind = 1 AS BIGINT)")).alias("n_interior"),
+        F.sum(F.expr("CAST(kind = 0 AS BIGINT)")).alias("n_boundary"),
+    )
+    return out.join(
+        F.broadcast(eng.boundaries.select("region_id", F.col("id").alias("region_code"))),
+        "region_id",
+    ).select("region_code", "n_interior", "n_boundary")
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-bigram frequency (top English bigrams)."""
+    _register(spark, sf_dir, ("documents",))
+    bigrams = ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"]
+    hits = " + ".join(
+        f"(length(text) - length(replace(text, '{b}', ''))) / 2" for b in bigrams)
+    return spark.sql(f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({hits} AS BIGINT) AS bigram_hits,
+               round(CAST({hits} AS DOUBLE) / (length(text) - 1), 4) AS bigram_ratio,
+               CAST({hits} AS DOUBLE) / (length(text) - 1) > 0.04 AS looks_english
+        FROM documents
+    """)
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted polynomial
+    over md5-derived word hashes mod {_MH_P} — swapping two words changes
+    the fingerprint (unlike a bag-of-words hash)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+        WITH words AS (
+            SELECT doc_id, posexplode(split(text, ' ')) AS (i, w) FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sum(((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)
+                          % {_MH_P}) * (31 * (i + 1))) % {_MH_P}) % {_MH_P} AS BIGINT)
+                   AS fp
+        FROM words GROUP BY doc_id
+    """)
+
+
 def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check): deterministic docs →
     media spans → Arrow-batched feature extraction (stubbed decode)."""
@@ -477,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
+        "raster_coverage": raster_coverage,
+        "lang_id_ngram": lang_id_ngram,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_token_stats": doc_token_stats,
         "doc_lang_quality": doc_lang_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -557,6 +607,67 @@ def oracle_sql() -> dict[str, str]:
               ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
              AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
                       AND p.lat > r.hy0 AND p.lat < r.hy1)
+        """,
+        "raster_coverage": f"""
+            WITH cells AS (
+                SELECT -180.0 + i * 5.625 AS cx0, -90.0 + j * 5.625 AS cy0,
+                       -180.0 + (i + 1) * 5.625 AS cx1, -90.0 + (j + 1) * 5.625 AS cy1
+                FROM range(0, 64) t1(i), range(0, 32) t2(j)
+            ),
+            cellpart AS (
+                SELECT r.ord, r.code, c.cx0, c.cy0,
+                       CASE WHEN (c.cx0 <= r.x1 AND c.cx1 >= r.x0
+                                  AND c.cy0 <= r.y1 AND c.cy1 >= r.y0)
+                             AND NOT (c.cx0 > r.x0 AND c.cx1 < r.x1
+                                      AND c.cy0 > r.y0 AND c.cy1 < r.y1)
+                            THEN 1 ELSE 0 END
+                       + CASE WHEN r.hx0 IS NOT NULL
+                               AND (c.cx0 <= r.hx1 AND c.cx1 >= r.hx0
+                                    AND c.cy0 <= r.hy1 AND c.cy1 >= r.hy0)
+                               AND NOT (c.cx0 > r.hx0 AND c.cx1 < r.hx1
+                                        AND c.cy0 > r.hy0 AND c.cy1 < r.hy1)
+                              THEN 1 ELSE 0 END AS n_perim,
+                       CASE WHEN c.cx0 > r.x0 AND c.cx1 < r.x1
+                             AND c.cy0 > r.y0 AND c.cy1 < r.y1
+                             AND NOT (r.hx0 IS NOT NULL
+                                      AND c.cx0 <= r.hx1 AND c.cx1 >= r.hx0
+                                      AND c.cy0 <= r.hy1 AND c.cy1 >= r.hy0)
+                            THEN 1 ELSE 0 END AS s_interior
+                FROM cells c CROSS JOIN {regions}
+            ),
+            percell AS (
+                SELECT code, cx0, cy0,
+                       max(CASE WHEN n_perim > 0 THEN 1 ELSE 0 END) AS is_b,
+                       max(s_interior) AS is_i
+                FROM cellpart GROUP BY code, cx0, cy0
+            )
+            SELECT code AS region_code,
+                   CAST(sum(CASE WHEN is_b = 0 AND is_i = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_interior,
+                   CAST(sum(is_b) AS BIGINT) AS n_boundary
+            FROM percell GROUP BY code
+            HAVING sum(is_b) + sum(CASE WHEN is_b = 0 AND is_i = 1 THEN 1 ELSE 0 END) > 0
+        """,
+        "lang_id_ngram": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(__HITS__ AS BIGINT) AS bigram_hits,
+                   round(CAST(__HITS__ AS DOUBLE) / (length(text) - 1), 4) AS bigram_ratio,
+                   CAST(__HITS__ AS DOUBLE) / (length(text) - 1) > 0.04 AS looks_english
+            FROM documents
+        """.replace("__HITS__", " + ".join(
+            f"(length(text) - length(replace(text, '{b}', ''))) / 2"
+            for b in ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"])),
+        "doc_rolling_fingerprint": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            words AS (
+                SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok
+                FROM w
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(sum(((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                              % {_MH_P}) * (31 * i)) % {_MH_P}) % {_MH_P} AS BIGINT)
+                       AS fp
+            FROM words GROUP BY doc_id
         """,
         "doc_token_stats": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -124,12 +124,23 @@ def k_for_radius(lat: float, radius_m: float, res: int) -> int:
 
 
 def cover_bbox(minx, miny, maxx, maxy, res: int) -> np.ndarray:
-    """All cells overlapping the bbox (inclusive of edge touches)."""
+    """All cells overlapping the CLOSED bbox, inclusive of edge touches
+    on every side: when the bbox min edge lies exactly on a cell border
+    the touching neighbour below/left is included too (the max side is
+    already inclusive under floor)."""
     n = 1 << res
     w = cell_width(res)
-    x0 = int(np.clip(math.floor((minx + 180.0) / w), 0, n - 1))
+    fx0 = (minx + 180.0) / w
+    fy0 = (miny + 90.0) / w
+    x0f = math.floor(fx0)
+    y0f = math.floor(fy0)
+    if fx0 == x0f:
+        x0f -= 1
+    if fy0 == y0f:
+        y0f -= 1
+    x0 = int(np.clip(x0f, 0, n - 1))
     x1 = int(np.clip(math.floor((maxx + 180.0) / w), 0, n - 1))
-    y0 = int(np.clip(math.floor((miny + 90.0) / w), 0, n - 1))
+    y0 = int(np.clip(y0f, 0, n - 1))
     y1 = int(np.clip(math.floor((maxy + 90.0) / w), 0, n - 1))
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
