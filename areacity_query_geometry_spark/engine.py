@@ -156,6 +156,22 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
     return _refine_point_batches
 
 
+def _probe_is_rect(g: dict, b: tuple[float, float, float, float]) -> bool:
+    """True when the probe geometry is exactly its bbox: a POINT
+    (degenerate rect) or a single-ring axis-aligned rectangle POLYGON.
+    Such probes go through the columnar rect kernels in the Q3 refine."""
+    if g["type"] == "Point":
+        return True
+    if g["type"] != "Polygon" or len(g["rings"]) != 1:
+        return False
+    ring = g["rings"][0]
+    if len(ring) != 5:
+        return False
+    minx, miny, maxx, maxy = b
+    corners = {(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)}
+    return {(float(x), float(y)) for x, y in ring[:4]} == corners
+
+
 def _dissolve_cells(cell_ids: np.ndarray) -> list[list[np.ndarray]]:
     """Union same-resolution grid cells into polygon rings by cancelling
     shared edges (each interior edge appears twice with opposite
@@ -599,23 +615,43 @@ class SpatialEngine:
         base_res = self.base_res
         cover_schema = StructType([
             StructField("probe_id", LongType()),
+            StructField("pminx", DoubleType()),
+            StructField("pminy", DoubleType()),
+            StructField("pmaxx", DoubleType()),
+            StructField("pmaxy", DoubleType()),
+            StructField("is_rect", LongType()),
             StructField("wkt", StringType()),
             StructField("cell_id", LongType()),
         ])
 
         def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Probes that are axis-aligned rects (or points — degenerate
+            # rects) are fully described by their bbox: the refine runs
+            # them through columnar kernels and the WKT string never
+            # enters the shuffle (4 doubles instead). Anything else
+            # (lines, general polygons) carries its WKT to the exact
+            # pairwise fallback.
             for pdf in it:
-                pid_o, wkt_o, cid_o = [], [], []
+                cols = {k: [] for k in ("probe_id", "pminx", "pminy", "pmaxx",
+                                        "pmaxy", "is_rect", "wkt", "cell_id")}
                 for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
                     g = wkt_codec.loads(w_)
                     if core.is_empty(g):
                         continue
-                    cells = grid.cover_bbox(*core.bounds(g), base_res)
-                    pid_o.extend([pid] * len(cells))
-                    wkt_o.extend([w_] * len(cells))
-                    cid_o.extend(cells.tolist())
-                yield pd.DataFrame({"probe_id": pid_o, "wkt": wkt_o, "cell_id": cid_o}) \
-                    .astype({"probe_id": "int64", "cell_id": "int64"})
+                    b = core.bounds(g)
+                    rect = _probe_is_rect(g, b)
+                    cells = grid.cover_bbox(*b, base_res)
+                    k = len(cells)
+                    cols["probe_id"].extend([pid] * k)
+                    cols["pminx"].extend([b[0]] * k)
+                    cols["pminy"].extend([b[1]] * k)
+                    cols["pmaxx"].extend([b[2]] * k)
+                    cols["pmaxy"].extend([b[3]] * k)
+                    cols["is_rect"].extend([1 if rect else 0] * k)
+                    cols["wkt"].extend([None if rect else w_] * k)
+                    cols["cell_id"].extend(cells.tolist())
+                yield pd.DataFrame(cols).astype(
+                    {"probe_id": "int64", "cell_id": "int64", "is_rect": "int64"})
 
         cover = probes.select("probe_id", "wkt").mapInPandas(cover_fn, cover_schema)
         joined = cover.join(self._tiles_for(where), "cell_id")
@@ -626,34 +662,111 @@ class SpatialEngine:
         ])
 
         def refine_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # tile segment registry cached for the task's lifetime
+            # (tile WKB decodes once per task, as in the point refine)
+            registry: dict[tuple, np.ndarray] = {}
             probe_cache: dict[int, dict] = {}
             for pdf in it:
-                seen: set[tuple[int, int]] = set()
-                pids, rids = [], []
-                for pid, w_, rid, kind, mnx, mny, mxx, mxy, twkb in zip(
-                    pdf["probe_id"], pdf["wkt"], pdf["region_id"], pdf["kind"],
-                    pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
-                    pdf["tile_wkb"],
-                ):
-                    key = (pid, rid)
-                    if key in seen:  # per-feature first-hit short-circuit
-                        continue
-                    g = probe_cache.get(pid)
-                    if g is None:
-                        g = probe_cache[pid] = wkt_codec.loads(w_)
-                    if kind != 0:
-                        tile = distance.rect(mnx, mny, mxx, mxy)
-                    else:
-                        tile = wkb.loads(bytes(twkb))
-                    if predicates.geoms_intersect(g, tile):
-                        seen.add(key)
-                        pids.append(pid)
-                        rids.append(rid)
-                yield pd.DataFrame({"probe_id": pids, "region_id": rids}).astype(
-                    {"probe_id": "int64", "region_id": "int64"})
+                n = len(pdf)
+                if n == 0:
+                    yield pd.DataFrame({"probe_id": pd.Series([], dtype="int64"),
+                                        "region_id": pd.Series([], dtype="int64")})
+                    continue
+                kind = pdf["kind"].to_numpy()
+                is_rect = pdf["is_rect"].to_numpy() == 1
+                pmnx = pdf["pminx"].to_numpy(dtype=np.float64)
+                pmny = pdf["pminy"].to_numpy(dtype=np.float64)
+                pmxx = pdf["pmaxx"].to_numpy(dtype=np.float64)
+                pmxy = pdf["pmaxy"].to_numpy(dtype=np.float64)
+                tmnx = pdf["minx"].to_numpy(dtype=np.float64)
+                tmny = pdf["miny"].to_numpy(dtype=np.float64)
+                tmxx = pdf["maxx"].to_numpy(dtype=np.float64)
+                tmxy = pdf["maxy"].to_numpy(dtype=np.float64)
+                hit_all = np.zeros(n, dtype=bool)
+
+                # ---- rect probe × rect tile: one closed bbox-overlap test
+                # (closed ⇒ boundary touch counts, OGC `intersects`)
+                m_rr = is_rect & (kind != 0)
+                if m_rr.any():
+                    hit_all[m_rr] = (
+                        (pmnx[m_rr] <= tmxx[m_rr]) & (pmxx[m_rr] >= tmnx[m_rr])
+                        & (pmny[m_rr] <= tmxy[m_rr]) & (pmxy[m_rr] >= tmny[m_rr])
+                    )
+
+                # ---- rect probe × boundary tile: group per tile, then
+                # (a) any tile segment touches the rect (Liang-Barsky,
+                #     batched probes × segments — also covers tile ⊂ rect)
+                # (b) rect corner inside the tile polygon (rect ⊂ tile)
+                m_rb = np.nonzero(is_rect & (kind == 0))[0]
+                if len(m_rb):
+                    cid = pdf["cell_id"].to_numpy()[m_rb]
+                    rid = pdf["region_id"].to_numpy()[m_rb]
+                    xb = tmnx[m_rb].view(np.int64)
+                    yb = tmny[m_rb].view(np.int64)
+                    order = np.lexsort((yb, xb, rid, cid))
+                    cs, rs, xs, ys = cid[order], rid[order], xb[order], yb[order]
+                    new_grp = np.empty(len(m_rb), dtype=bool)
+                    new_grp[0] = True
+                    new_grp[1:] = (np.diff(cs) != 0) | (np.diff(rs) != 0) | \
+                                  (np.diff(xs) != 0) | (np.diff(ys) != 0)
+                    starts = np.nonzero(new_grp)[0]
+                    ends = np.append(starts[1:], len(m_rb))
+                    wkb_col = pdf["tile_wkb"].to_numpy()[m_rb][order]
+                    a0 = pmnx[m_rb][order]
+                    a1 = pmny[m_rb][order]
+                    a2 = pmxx[m_rb][order]
+                    a3 = pmxy[m_rb][order]
+                    hit0 = np.zeros(len(m_rb), dtype=bool)
+                    for s0, s1 in zip(starts, ends):
+                        key = (cs[s0], rs[s0], xs[s0], ys[s0])
+                        segs = registry.get(key)
+                        if segs is None:
+                            g = wkb.loads(bytes(wkb_col[s0]))
+                            segs = predicates.segments_of_rings(core.all_rings(g))
+                            registry[key] = segs
+                        touch = predicates.segments_in_cells(
+                            segs, a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1])
+                        inside = predicates.points_intersect_prepared(
+                            a0[s0:s1], a1[s0:s1], segs)
+                        hit0[s0:s1] = touch | inside
+                    back = np.empty(len(m_rb), dtype=np.int64)
+                    back[order] = np.arange(len(m_rb))
+                    hit_all[m_rb] = hit0[back]
+
+                # ---- non-rect probes (lines / general polygons): exact
+                # pairwise fallback — rare, and each probe parses once
+                m_g = np.nonzero(~is_rect)[0]
+                if len(m_g):
+                    pid_g = pdf["probe_id"].to_numpy()[m_g]
+                    wkt_g = pdf["wkt"].to_numpy()[m_g]
+                    rid_g = pdf["region_id"].to_numpy()[m_g]
+                    wkb_g = pdf["tile_wkb"].to_numpy()[m_g]
+                    for j in range(len(m_g)):
+                        g = probe_cache.get(pid_g[j])
+                        if g is None:
+                            g = probe_cache[pid_g[j]] = wkt_codec.loads(wkt_g[j])
+                        i = m_g[j]
+                        if kind[i] != 0:
+                            tile = distance.rect(tmnx[i], tmny[i], tmxx[i], tmxy[i])
+                        else:
+                            key2 = (pdf["cell_id"].iat[i], rid_g[j],
+                                    tmnx[i:i + 1].view(np.int64)[0],
+                                    tmny[i:i + 1].view(np.int64)[0], -1)
+                            tile = registry.get(key2)
+                            if tile is None:
+                                tile = registry[key2] = wkb.loads(bytes(wkb_g[j]))
+                        hit_all[i] = predicates.geoms_intersect(g, tile)
+
+                if not hit_all.any():
+                    yield pd.DataFrame({"probe_id": pd.Series([], dtype="int64"),
+                                        "region_id": pd.Series([], dtype="int64")})
+                    continue
+                out = pdf.loc[hit_all, ["probe_id", "region_id"]].drop_duplicates()
+                yield out.astype({"probe_id": "int64", "region_id": "int64"})
 
         matches = joined.select(
-            "probe_id", "wkt", "region_id", "kind",
+            "probe_id", "pminx", "pminy", "pmaxx", "pmaxy", "is_rect", "wkt",
+            "cell_id", "region_id", "kind",
             "minx", "miny", "maxx", "maxy", "tile_wkb",
         ).mapInPandas(refine_fn, refine_schema).dropDuplicates(["probe_id", "region_id"])
         if not with_props:
