@@ -470,6 +470,96 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF (inverted-file) bucketing. Coarse
+    centroids = the first 16 embeddings (deterministic, no RNG); every
+    vector is assigned to its nearest centroid by cosine via ONE Arrow
+    matmul per partition block (the 100TB-shaped hot path — at scale
+    this is the only stage that touches every row); queries (vec_id<8)
+    probe their nprobe=2 nearest lists and rank exact cosine within
+    them (top-3). Reference analog: the filter-refine two-phase shape
+    of /root/reference/AreaCityQuery.java:209-262, applied to vector
+    space — the centroid assignment is the coarse filter, the
+    within-bucket cosine the exact refine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    _register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    cent = sorted(emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    C = np.array([r.embedding for r in cent], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_cn = spark.sparkContext.broadcast(Cn)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cid", LongType()),
+        StructField("rnk", IntegerType()),
+    ])
+
+    def assign(it):
+        cids_ = b_cids.value
+        Cn_ = b_cn.value
+        for pdf in it:
+            vid = pdf["vec_id"].to_numpy()
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ Cn_.T  # (block × centroids) — columns in cid order,
+            best = sims.argmax(axis=1)  # so argmax ties pick the lowest cid
+            out_v = [vid]
+            out_c = [cids_[best]]
+            out_r = [np.ones(len(vid), dtype=np.int32)]
+            qm = vid < 8
+            if qm.any():  # queries also emit their 2nd-nearest list (nprobe=2)
+                s2 = sims[qm].copy()
+                s2[np.arange(int(qm.sum())), best[qm]] = -np.inf
+                out_v.append(vid[qm])
+                out_c.append(cids_[s2.argmax(axis=1)])
+                out_r.append(np.full(int(qm.sum()), 2, dtype=np.int32))
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_v).astype("int64"),
+                "cid": np.concatenate(out_c).astype("int64"),
+                "rnk": np.concatenate(out_r).astype("int32"),
+            })
+
+    emb.mapInPandas(assign, schema).createOrReplaceTempView("ivf_assign")
+    return spark.sql("""
+        WITH e AS (
+            SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   sqrt(aggregate(v, 0D, (acc, z) -> acc + z * z)) AS nrm
+            FROM e
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS qid, a.vec_id AS nid
+            FROM ivf_assign p
+            JOIN ivf_assign a ON a.cid = p.cid AND a.rnk = 1 AND a.vec_id != p.vec_id
+            WHERE p.vec_id < 8
+        ),
+        sims AS (
+            SELECT c.qid, c.nid,
+                   aggregate(zip_with(q.v, m.v, (x, y) -> x * y), 0D,
+                             (acc, z) -> acc + z) / (q.nrm * m.nrm) AS sim
+            FROM cand c
+            JOIN n q ON q.vec_id = c.qid
+            JOIN n m ON m.vec_id = c.nid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM sims
+        )
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+               round(sim, 4) AS sim
+        FROM ranked WHERE rn <= 3
+    """)
+
+
 def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token count: alnum runs + punctuation marks."""
     _register(spark, sf_dir, ("documents",))
@@ -538,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": embedding_topk_cosine,
         "embedding_near_dup": embedding_near_dup,
         "embedding_ann_lsh": embedding_ann_lsh,
+        "embedding_ann_ivf": embedding_ann_ivf,
         "doc_token_bpe": doc_token_bpe,
     }
 
@@ -851,6 +942,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.qid, n.vec_id AS nid,
                        list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS sim
                 FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT qid, nid, sim,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+                FROM sims
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+                   round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 3
+        """,
+        "embedding_ann_ivf": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+            ),
+            c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+            ranks AS (
+                SELECT n.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                    c.cid) AS rn
+                FROM n CROSS JOIN c
+            ),
+            asgn AS (SELECT vec_id, cid FROM ranks WHERE rn = 1),
+            probe AS (SELECT vec_id AS qid, cid FROM ranks WHERE rn <= 2 AND vec_id < 8),
+            cand AS (
+                SELECT DISTINCT p.qid, a.vec_id AS nid
+                FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid
+            ),
+            sims AS (
+                SELECT cn.qid, cn.nid,
+                       list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS sim
+                FROM cand cn
+                JOIN n q ON q.vec_id = cn.qid
+                JOIN n m ON m.vec_id = cn.nid
             ),
             ranked AS (
                 SELECT qid, nid, sim,

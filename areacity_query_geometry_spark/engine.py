@@ -460,9 +460,12 @@ class SpatialEngine:
             if where:
                 keep = self.boundaries.filter(where).select("region_id")
                 t = t.join(F.broadcast(keep), "region_id", "left_semi")
-            n_miss = misses.count()
-            if n_miss <= 2_000_000:
-                dists = self._dists_unlimited_reverse(misses, t)
+            # one capped collect decides the strategy AND feeds the
+            # broadcast — the driver never holds more than the cap + 1
+            cap = 2_000_000
+            rows = misses.limit(cap + 1).collect()
+            if len(rows) <= cap:
+                dists = self._dists_unlimited_reverse(rows, t)
                 return self._finish_tolerance(base_out, dists, k)
             cand = misses.crossJoin(F.broadcast(t.select("region_id", "tile_wkb")))
 
@@ -527,10 +530,10 @@ class SpatialEngine:
         dists = cand.mapInPandas(dist_fn, dist_schema)
         return self._finish_tolerance(base_out, dists, k)
 
-    def _dists_unlimited_reverse(self, misses: DataFrame, tiles_b: DataFrame) -> DataFrame:
-        """tolerance=-1 distance stage: broadcast the miss points, scan
-        tiles once, min-reduce per (point, region) within each partition."""
-        rows = misses.collect()
+    def _dists_unlimited_reverse(self, rows: list, tiles_b: DataFrame) -> DataFrame:
+        """tolerance=-1 distance stage: broadcast the (pre-collected) miss
+        points, scan tiles once, min-reduce per (point, region) within
+        each partition."""
         pid = np.array([r["point_id"] for r in rows], dtype=np.int64)
         px = np.array([r["lng"] for r in rows], dtype=np.float64)
         py = np.array([r["lat"] for r in rows], dtype=np.float64)
