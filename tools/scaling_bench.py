@@ -5,6 +5,11 @@ the identical job runs at two parallelism levels (fresh JVM each:
 local[N] and local[4N] on the same input) and we report throughput at
 both plus efficiency = (throughput_4N / throughput_N) / 4.
 
+The job launches via `spark-submit --py-files <package zip>` (the
+north-star deployment mechanics) from a NEUTRAL working directory, so
+the engine package resolves only from the shipped zip — the same
+artifact path a real N/4N-executor cluster would use.
+
 Writes/updates BENCH/BASELINE.md. Usage:
     python tools/scaling_bench.py [N] [lookups]
 """
@@ -12,53 +17,52 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "areacity_query_geometry_spark"
 
-JOB = r"""
-import os, sys, time, json
-sys.path.insert(0, %(repo)r)
-os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-from pyspark.sql import SparkSession, functions as F
-from areacity_query_geometry_spark.engine import SpatialEngine
 
-cpus = int(sys.argv[1]); n = int(sys.argv[2])
-spark = (SparkSession.builder.master(f"local[{cpus}]").appName("scaling")
-    .config("spark.sql.shuffle.partitions", str(cpus))
-    .config("spark.driver.memory", "60g")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-    .getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
-eng = SpatialEngine.from_geojson(
-    spark, "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json", base_res=13)
-probes = spark.range(n).select(
-    F.col("id").alias("point_id"),
-    (73.0 + (F.col("id") * 37 %% 62000) / 1000.0).alias("lng"),
-    (18.0 + (F.col("id") * 101 %% 36000) / 1000.0).alias("lat"))
-eng.query_points(probes.sample(0.02, seed=1), with_props=False).count()  # warm
-best = None
-for _ in range(3):
-    t0 = time.time(); hits = eng.query_points(probes, with_props=False).count()
-    dt_i = time.time() - t0
-    best = dt_i if best is None or dt_i < best else best
-dt = best
-print(json.dumps({"cpus": cpus, "n": n, "sec": round(dt, 3),
-                  "throughput": round(n / dt, 1), "hits": hits}))
-spark.stop()
-"""
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    path = os.path.join(dist, f"{PKG}.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg_dir = os.path.join(REPO, PKG)
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+    return path
 
 
 def run(cpus: int, lookups: int) -> dict:
-    code = JOB % {"repo": REPO}
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(lookups)],
-        capture_output=True, text=True, cwd=REPO, timeout=1800,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    zip_path = build_zip()
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+    with tempfile.TemporaryDirectory() as neutral_cwd:
+        out = subprocess.run(
+            [spark_submit,
+             "--master", f"local[{cpus}]",
+             "--conf", f"spark.sql.shuffle.partitions={cpus}",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=65536",
+             "--driver-memory", "60g",
+             "--py-files", zip_path,
+             os.path.join(REPO, "tools", "submit_job.py"), str(lookups)],
+            capture_output=True, text=True, cwd=neutral_cwd, timeout=1800, env=env,
+        )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"spark-submit failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():
@@ -86,7 +90,11 @@ Headline job: Q1 point-lookup join (China province fixture, base_res=13,
 {lookups:,} deterministic probes) through the full engine path
 (cell-grid equi-join, interior shortcut, Arrow refine). Identical job,
 two parallelism levels, fresh JVM each (the sandbox's stand-in for N vs
-4N executors per the driver's north rule).
+4N executors per the driver's north rule), launched via
+`spark-submit --master local[N] --py-files
+dist/areacity_query_geometry_spark.zip tools/submit_job.py` from a
+neutral cwd — the engine package resolves only from the shipped zip,
+the same artifact path a real multi-executor cluster uses.
 
 Parallelism levels are local[{n_small}] vs local[{n_small * 4}]: this
 sandbox's memory subsystem saturates at ~8 worker threads (measured:
