@@ -198,17 +198,37 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check): deterministic docs →
-    media spans → Arrow-batched feature extraction (stubbed decode)."""
-    from areacity_query_geometry_spark import docs as docsmod
+    """Multimodal pipeline end to end WITH value-checked oracle: docs
+    with interleaved text+image+audio spans (derived from events so the
+    oracle can rebuild them in SQL) → posexplode → media filter →
+    Arrow-batched feature extraction (sha256-derived deterministic fake
+    decode, areacity_query_geometry_spark/functions/media.py). The
+    checksum recovers each float32 feature's exact uint16 source
+    (round(f*65535)) so the integer sum is order-independent and
+    bit-reproducible in DuckDB."""
     from areacity_query_geometry_spark.functions import media
 
-    docs = docsmod.generate_docs(spark, n_docs=500, seed=42)
+    _register(spark, sf_dir, ("events",))
+    docs = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text', 'header',
+                              'media_ref', CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'image', 'text', CAST(NULL AS STRING),
+                              'media_ref', concat('blob://img/', CAST(event_id AS STRING)),
+                              'offset', 1),
+                 named_struct('kind', 'audio', 'text', CAST(NULL AS STRING),
+                              'media_ref', concat('blob://aud/', CAST(event_id AS STRING)),
+                              'offset', 2)
+               ) AS spans
+        FROM events WHERE event_id % 100 = 0
+    """)
     feats = media.decode_media(docs, fake=True)
     return feats.select(
         "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "kind",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4)
-            .alias("feature_sum"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + F.round(x * 65535))
+            / 65535.0, 4).alias("feature_q"),
     )
 
 
@@ -698,6 +718,28 @@ def oracle_sql() -> dict[str, str]:
               ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
              AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
                       AND p.lat > r.hy0 AND p.lat < r.hy1)
+        """,
+        "media_span_features": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                       'image' AS kind,
+                       'blob://img/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+                UNION ALL
+                SELECT CAST(event_id AS VARCHAR), 2, 'audio',
+                       'blob://aud/' || CAST(event_id AS VARCHAR)
+                FROM events WHERE event_id % 100 = 0
+            ),
+            u AS (
+                SELECT doc_id, span_idx, kind,
+                       sum(CAST(('0x' || substr(sha256(ref), 1 + 4*i, 2)) AS BIGINT)
+                           + 256 * CAST(('0x' || substr(sha256(ref), 3 + 4*i, 2)) AS BIGINT)) AS s
+                FROM d CROSS JOIN {_I16}
+                GROUP BY doc_id, span_idx, kind
+            )
+            SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind,
+                   round(CAST(s AS DOUBLE) / 65535, 4) AS feature_q
+            FROM u
         """,
         "raster_coverage": f"""
             WITH cells AS (
