@@ -333,11 +333,19 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {_MH_P} AS h0
             FROM shingles
         ),
+        sig0 AS (
+            -- 16 min-aggregates in ONE pass (map-side combine) instead of
+            -- exploding every shingle 16x through the shuffle; identical
+            -- values to min over i of ((2i+3)*h0 + 7i + 11) %% P
+            SELECT doc_id,
+                   {", ".join(f"min(({2 * i + 3} * h0 + {7 * i + 11}) % {_MH_P}) AS mh{i}"
+                              for i in range(16))}
+            FROM h GROUP BY doc_id
+        ),
         sig AS (
-            SELECT doc_id, i,
-                   min(((2 * i + 3) * h0 + 7 * i + 11) % {_MH_P}) AS mh
-            FROM h CROSS JOIN {_I16}
-            GROUP BY doc_id, i
+            SELECT doc_id,
+                   stack(16, {", ".join(f"{i}, mh{i}" for i in range(16))}) AS (i, mh)
+            FROM sig0
         ),
         bands AS (
             SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
@@ -380,14 +388,17 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tokens
         ),
         bits AS (
-            SELECT doc_id, i,
-                   sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-            FROM th CROSS JOIN {_I16}
-            GROUP BY doc_id, i
+            -- 16 bit-vote sums in ONE aggregation pass (map-side combine)
+            -- instead of a 16x row explode + second group-by
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+                              for i in range(16))}
+            FROM th GROUP BY doc_id
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash16
-        FROM bits GROUP BY doc_id
+               CAST({" + ".join(f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+                                for i in range(16))} AS BIGINT) AS simhash16
+        FROM bits
     """)
 
 
