@@ -430,20 +430,59 @@ class SpatialEngine:
                 StructField("cell_id", LongType()),
             ])
 
+            tol_m = float(tolerance_m)
+
             def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                # Fully vectorized: the 24-gon circle vertices
+                # (CreateSimpleCircle arithmetic, AreaCityQuery.java:1388-1405)
+                # for ALL points in one (points × 24) broadcast, then the
+                # closed-bbox cell ranges enumerated with repeat/cumsum
+                # arithmetic — no per-row Python on the (potentially
+                # billions-of-docs) miss set.
+                n_side = 1 << base_res
+                w = grid.cell_width(base_res)
+                km = tol_m / 1000.0
+                a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
+                ang = np.arange(24) * (360.0 / 24) * (np.pi / 180.0)
+                cosg, sing = np.cos(ang), np.sin(ang)
                 for pdf in it:
-                    pid_o, lng_o, lat_o, cid_o = [], [], [], []
-                    for pid, x, y in zip(pdf["point_id"], pdf["lng"], pdf["lat"]):
-                        circ = distance.simple_circle(x, y, tolerance_m, 24)
-                        minx, miny, maxx, maxy = core.bounds(circ)
-                        cells = grid.cover_bbox(minx, miny, maxx, maxy, base_res)
-                        pid_o.extend([pid] * len(cells))
-                        lng_o.extend([x] * len(cells))
-                        lat_o.extend([y] * len(cells))
-                        cid_o.extend(cells.tolist())
-                    yield pd.DataFrame(
-                        {"point_id": pid_o, "lng": lng_o, "lat": lat_o, "cell_id": cid_o}
-                    ).astype({"point_id": "int64", "cell_id": "int64"})
+                    pid = pdf["point_id"].to_numpy()
+                    px = pdf["lng"].to_numpy(dtype=np.float64)
+                    py = pdf["lat"].to_numpy(dtype=np.float64)
+                    b = np.asarray(distance.haversine(px, py, px + a, py))
+                    c = np.asarray(distance.haversine(px, py, px, py + a))
+                    rb = tol_m / b * a
+                    rc = tol_m / c * a
+                    vx = px[:, None] + rb[:, None] * cosg[None, :]
+                    vy = py[:, None] + rc[:, None] * sing[None, :]
+                    minx, maxx = vx.min(axis=1), vx.max(axis=1)
+                    miny, maxy = vy.min(axis=1), vy.max(axis=1)
+                    # closed-bbox semantics of grid.cover_bbox: a min edge
+                    # exactly on a cell border also includes the neighbour
+                    fx0 = (minx + 180.0) / w
+                    fy0 = (miny + 90.0) / w
+                    x0 = np.floor(fx0)
+                    x0 = np.where(fx0 == x0, x0 - 1, x0)
+                    y0 = np.floor(fy0)
+                    y0 = np.where(fy0 == y0, y0 - 1, y0)
+                    x0 = np.clip(x0, 0, n_side - 1).astype(np.int64)
+                    y0 = np.clip(y0, 0, n_side - 1).astype(np.int64)
+                    x1 = np.clip(np.floor((maxx + 180.0) / w), 0, n_side - 1).astype(np.int64)
+                    y1 = np.clip(np.floor((maxy + 90.0) / w), 0, n_side - 1).astype(np.int64)
+                    kx = x1 - x0 + 1
+                    ky = y1 - y0 + 1
+                    cnt = kx * ky
+                    rep = np.repeat(np.arange(len(pid)), cnt)
+                    offs = np.arange(int(cnt.sum()), dtype=np.int64) \
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    ix = x0[rep] + offs // ky[rep]
+                    iy = y0[rep] + offs % ky[rep]
+                    yield pd.DataFrame({
+                        "point_id": pid[rep].astype("int64"),
+                        "lng": px[rep],
+                        "lat": py[rep],
+                        "cell_id": grid.pack(base_res, ix, iy),
+                    })
 
             cover = misses.mapInPandas(cover_fn, cover_schema)
             cand = cover.join(

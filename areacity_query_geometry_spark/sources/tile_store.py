@@ -74,6 +74,31 @@ def load(spark: SparkSession, path: str) -> SpatialEngine:
     )
 
 
+def save_bucketed(engine: SpatialEngine, table: str, n_buckets: int = 64) -> None:
+    """Persist the tile set as a BUCKETED table on `cell_id` (Hive-style
+    bucketing in the session warehouse). At scale this is the
+    shuffle-free co-located join path: a sort-merge join of probes
+    against a cell_id-bucketed tile table reads the tile side without
+    any Exchange — only the skinny probe rows shuffle (SURVEY.md §4
+    "co-locate joins via bucketing"). The broadcast path stays the
+    default for small tile sets; this is the 100TB tile-table variant
+    (e.g. township-level boundaries at fine resolution)."""
+    (engine.tiles.write.mode("overwrite")
+        .bucketBy(n_buckets, "cell_id")
+        .sortBy("cell_id")
+        .format("parquet")
+        .saveAsTable(table))
+
+
+def load_bucketed(spark: SparkSession, table: str, base_res: int,
+                  boundaries=None) -> SpatialEngine:
+    """Engine over the bucketed tile table, forced onto the shuffle-join
+    path (broadcast_tiles=False) so the bucketed scan is actually used."""
+    tiles = spark.table(table)
+    return SpatialEngine(spark, boundaries, tiles, base_res=base_res,
+                         broadcast_tiles=False)
+
+
 def load_or_build(
     spark: SparkSession,
     geojson_path: str,

@@ -51,6 +51,37 @@ class TestTileStore:
         assert not tile_store.available(store, 9, 13, 48)
 
 
+class TestBucketedStore:
+    def test_bucketed_join_reads_tiles_without_exchange(self, spark, province_engine):
+        """save_bucketed → the shuffle-join path scans the tile side
+        pre-partitioned (bucket pruning visible in the plan: a bucketed
+        FileScan, no Exchange above it) and produces identical hits."""
+        import contextlib
+        import io
+
+        table = "tiles_bucketed_t"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        tile_store.save_bucketed(province_engine, table, n_buckets=8)
+        try:
+            eng2 = tile_store.load_bucketed(
+                spark, table, base_res=province_engine.base_res,
+                boundaries=province_engine.boundaries)
+            pts = _pts(spark, 800)
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                assert _hits(eng2, pts) == _hits(province_engine, pts)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    eng2.query_points(pts, with_props=False).explain("formatted")
+                plan = buf.getvalue()
+                assert "Bucketed: true" in plan
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 class TestSaltedJoin:
     def test_salted_shuffle_equals_broadcast(self, spark, province_engine):
         salted = SpatialEngine(
