@@ -68,57 +68,63 @@ class TestStreaming:
         assert got == want
 
     def test_windowed_counts_with_watermark_drop_late(self, spark, province_engine, tmp_path):
-        """Watermark/late-data semantics end to end: three micro-batches
-        (maxFilesPerTrigger=1, mtime-ordered). Batch A fills the
-        10:00-10:01 window (Beijing, 2 points); batch B advances event
-        time; batch C carries a LATE row for the 10:00 window (behind
-        the watermark → dropped) and pushes the watermark past the
-        window end so it finally emits. Expect exactly count=2."""
+        """Watermark/late-data semantics end to end, driven as three
+        sequential availableNow runs over one checkpoint (watermark
+        state persists between runs — also exercising restart recovery):
+        run A fills the 10:00-10:01 window (Beijing, 2 points); run B
+        advances event time past the watermark so the window closes and
+        emits count=2; run C replays a LATE row for that window
+        (behind the restored watermark → dropped, nothing emitted)."""
+        import datetime as dt
         import os
-        import time
 
         bj = (116.407387, 39.904179)  # 北京市 golden
         src = str(tmp_path / "winpts")
+        ckpt = str(tmp_path / "ckpt")
         os.makedirs(src)
 
-        def write_file(name, rows, mtime):
+        def write_file(name, rows):
             df = spark.createDataFrame(
                 rows, "point_id long, ts timestamp, lng double, lat double")
-            tmp = str(tmp_path / ("stage_" + name))
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = os.path.join(src, name + ".parquet")
-            os.rename(os.path.join(tmp, part), dst)
-            os.utime(dst, (mtime, mtime))
-
-        import datetime as dt
+            stage = str(tmp_path / ("stage_" + name))
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(stage, part),
+                      os.path.join(src, name + ".parquet"))
 
         def ts(minute, second):
             return dt.datetime(2026, 1, 1, 10, minute, second)
 
-        base = time.time() - 1000
-        write_file("a", [(1, ts(0, 10), *bj), (2, ts(0, 20), *bj)], base)
-        write_file("b", [(3, ts(5, 0), *bj)], base + 10)
-        # late row (ts 10:00:30 < watermark 10:03) + watermark pusher
-        write_file("c", [(4, ts(0, 30), *bj), (5, ts(6, 0), *bj)], base + 20)
+        sink = str(tmp_path / "sink")
 
-        stream = (
-            spark.readStream
-            .schema("point_id long, ts timestamp, lng double, lat double")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        out = point_stream.stream_region_window_counts(
-            province_engine, stream, window_dur="1 minute",
-            watermark_delay="2 minutes")
-        q = (out.writeStream.format("memory").queryName("win_counts")
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-        rows = spark.sql(
-            "SELECT win.start AS s, region_id, count AS n FROM win_counts").collect()
-        # only the closed 10:00 window emits; the late point 4 is dropped
-        assert len(rows) == 1
-        assert rows[0].s.minute == 0 and rows[0].n == 2
+        def run():
+            stream = (
+                spark.readStream
+                .schema("point_id long, ts timestamp, lng double, lat double")
+                .parquet(src)
+            )
+            out = point_stream.stream_region_window_counts(
+                province_engine, stream, window_dur="1 minute",
+                watermark_delay="2 minutes")
+            q = (out.select("win.start", "region_id", "count")
+                 .writeStream.format("parquet").option("path", sink)
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return sorted(
+                (r.start, r["count"]) for r in spark.read.parquet(sink).collect())
+
+        write_file("a", [(1, ts(0, 10), *bj), (2, ts(0, 20), *bj)])
+        assert run() == []  # watermark 9:58:20 — window still open
+
+        write_file("b", [(3, ts(5, 0), *bj)])  # watermark → 10:03
+        got_b = run()  # 10:00 window closes and emits count=2
+        assert got_b == [(ts(0, 0), 2)]
+
+        # late row for the already-closed window (10:00:30 < wm 10:03):
+        # dropped; 10:06 pusher's own window stays open → nothing new emits
+        write_file("c", [(4, ts(0, 30), *bj), (5, ts(6, 0), *bj)])
+        assert run() == [(ts(0, 0), 2)]
 
     def test_rejects_batch_df(self, spark, province_engine):
         batch = spark.range(3).select(
