@@ -126,6 +126,45 @@ class TestStreaming:
         write_file("c", [(4, ts(0, 30), *bj), (5, ts(6, 0), *bj)])
         assert run() == [(ts(0, 0), 2)]
 
+    def test_stateful_stream_dedup_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState custom operator: duplicates are dropped
+        both within a batch and across micro-batches (state survives via
+        the checkpoint across sequential availableNow runs)."""
+        import os
+
+        from areacity_query_geometry_spark.streaming import dedup_stream
+
+        src = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ck")
+        sink = str(tmp_path / "out")
+        os.makedirs(src)
+
+        def write_file(name, rows):
+            df = spark.createDataFrame(rows, "doc_id string, fp string")
+            stage = str(tmp_path / ("s_" + name))
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(stage, part),
+                      os.path.join(src, name + ".parquet"))
+
+        def run():
+            stream = spark.readStream.schema("doc_id string, fp string").parquet(src)
+            out = dedup_stream.stream_dedup_exact(stream)
+            q = (out.writeStream.format("parquet").option("path", sink)
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return sorted((r.fp, r.doc_id)
+                          for r in spark.read.parquet(sink).collect())
+
+        # batch 1: in-batch duplicate of X → min doc id wins
+        write_file("a", [("d2", "X"), ("d1", "X"), ("d3", "Y")])
+        assert run() == [("X", "d1"), ("Y", "d3")]
+
+        # batch 2: cross-batch duplicate of X dropped, new Z passes
+        write_file("b", [("d9", "X"), ("d4", "Z")])
+        assert run() == [("X", "d1"), ("Y", "d3"), ("Z", "d4")]
+
     def test_rejects_batch_df(self, spark, province_engine):
         batch = spark.range(3).select(
             F.col("id").alias("point_id"),
