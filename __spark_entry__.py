@@ -90,6 +90,77 @@ def q3_rect_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_line_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with LINESTRING probes — exercises the vectorized
+    segment-probe refine (orientation kernels, engine.py) end to end;
+    the oracle reproduces the identical division-free orientation
+    arithmetic in SQL, so results match exactly on the dyadic fixture
+    coordinates."""
+    _register(spark, sf_dir, ("orders",))
+    eng = _engine(spark)
+    lines = spark.sql(fixtures.line_probes_sql("orders"))
+    probes = lines.select(
+        F.col("probe_id"),
+        F.concat(
+            F.lit("LINESTRING ("),
+            F.col("x1"), F.lit(" "), F.col("y1"), F.lit(", "),
+            F.col("x2"), F.lit(" "), F.col("y2"), F.lit(")"),
+        ).alias("wkt"),
+    )
+    out = eng.query_geometry(probes)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
+def _orient_sql(ax, ay, bx, by, cx, cy) -> str:
+    return (f"((({bx})-({ax}))*(({cy})-({ay})) - "
+            f"((({by})-({ay}))*(({cx})-({ax}))))")
+
+
+def _seg_edge_int_sql(e1x, e1y, e2x, e2y) -> str:
+    """SQL predicate: probe segment (p.x1,p.y1)-(p.x2,p.y2) intersects
+    the edge (e1)-(e2), boundary-inclusive — the same division-free
+    orientation test as predicates._pair_seg_intersect."""
+    d1 = _orient_sql("p.x1", "p.y1", "p.x2", "p.y2", e1x, e1y)
+    d2 = _orient_sql("p.x1", "p.y1", "p.x2", "p.y2", e2x, e2y)
+    d3 = _orient_sql(e1x, e1y, e2x, e2y, "p.x1", "p.y1")
+    d4 = _orient_sql(e1x, e1y, e2x, e2y, "p.x2", "p.y2")
+    proper = (f"((({d1})>0) <> (({d2})>0)) AND ((({d3})>0) <> (({d4})>0)) "
+              f"AND ({d1})<>0 AND ({d2})<>0 AND ({d3})<>0 AND ({d4})<>0")
+
+    def on(dv, px, py, sx1, sy1, sx2, sy2):
+        return (f"(({dv})=0 AND ({px}) BETWEEN least({sx1},{sx2}) AND greatest({sx1},{sx2})"
+                f" AND ({py}) BETWEEN least({sy1},{sy2}) AND greatest({sy1},{sy2}))")
+
+    touch = " OR ".join([
+        on(d1, e1x, e1y, "p.x1", "p.y1", "p.x2", "p.y2"),
+        on(d2, e2x, e2y, "p.x1", "p.y1", "p.x2", "p.y2"),
+        on(d3, "p.x1", "p.y1", e1x, e1y, e2x, e2y),
+        on(d4, "p.x2", "p.y2", e1x, e1y, e2x, e2y),
+    ])
+    return f"((({proper})) OR {touch})"
+
+
+def _line_region_hit_sql() -> str:
+    """Probe segment intersects region part r (closed rect, minus
+    swallow-by-open-hole)."""
+    in_rect = ("(p.x1 BETWEEN r.x0 AND r.x1 AND p.y1 BETWEEN r.y0 AND r.y1) OR "
+               "(p.x2 BETWEEN r.x0 AND r.x1 AND p.y2 BETWEEN r.y0 AND r.y1)")
+    edges = " OR ".join(_seg_edge_int_sql(*e) for e in (
+        ("r.x0", "r.y0", "r.x1", "r.y0"),
+        ("r.x1", "r.y0", "r.x1", "r.y1"),
+        ("r.x1", "r.y1", "r.x0", "r.y1"),
+        ("r.x0", "r.y1", "r.x0", "r.y0"),
+    ))
+    swallow = ("r.hx0 IS NOT NULL"
+               " AND p.x1 > r.hx0 AND p.x1 < r.hx1 AND p.y1 > r.hy0 AND p.y1 < r.hy1"
+               " AND p.x2 > r.hx0 AND p.x2 < r.hx1 AND p.y2 > r.hy0 AND p.y2 < r.hy1")
+    return f"(({in_rect}) OR {edges}) AND NOT ({swallow})"
+
+
 def q4_attribute_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark)
     out = eng.read_wkt_features(where="deep >= 2 AND ext_path LIKE 'D0%'", with_wkt=False)
@@ -641,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_point_region_join": q1_point_region_join,
         "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
         "q3_rect_probe_join": q3_rect_probe_join,
+        "q3_line_probe_join": q3_line_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
@@ -712,6 +784,13 @@ def oracle_sql() -> dict[str, str]:
               ON p.qx0 <= r.x1 AND p.qx1 >= r.x0 AND p.qy0 <= r.y1 AND p.qy1 >= r.y0
              AND NOT (r.hx0 IS NOT NULL AND p.qx0 > r.hx0 AND p.qx1 < r.hx1
                       AND p.qy0 > r.hy0 AND p.qy1 < r.hy1)
+        """,
+        "q3_line_probe_join": f"""
+            WITH probes AS ({fixtures.line_probes_sql("orders")})
+            SELECT DISTINCT p.probe_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+            FROM probes p
+            JOIN {regions}
+              ON {_line_region_hit_sql()}
         """,
         "q4_attribute_scan": f"""
             SELECT DISTINCT code AS region_code, CAST(deep AS BIGINT) AS deep,

@@ -657,43 +657,50 @@ class SpatialEngine:
         base_res = self.base_res
         cover_schema = StructType([
             StructField("probe_id", LongType()),
-            StructField("pminx", DoubleType()),
-            StructField("pminy", DoubleType()),
-            StructField("pmaxx", DoubleType()),
-            StructField("pmaxy", DoubleType()),
-            StructField("is_rect", LongType()),
+            StructField("p0", DoubleType()),
+            StructField("p1", DoubleType()),
+            StructField("p2", DoubleType()),
+            StructField("p3", DoubleType()),
+            StructField("pkind", LongType()),
             StructField("wkt", StringType()),
             StructField("cell_id", LongType()),
         ])
 
         def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # Probes that are axis-aligned rects (or points — degenerate
-            # rects) are fully described by their bbox: the refine runs
-            # them through columnar kernels and the WKT string never
-            # enters the shuffle (4 doubles instead). Anything else
-            # (lines, general polygons) carries its WKT to the exact
-            # pairwise fallback.
+            # Probe classification: pkind 1 = axis-aligned rect or point
+            # (p0..p3 = bbox), pkind 2 = single-segment line (p0..p3 =
+            # endpoints), pkind 0 = general geometry (carries WKT to the
+            # exact pairwise fallback). Kinds 1/2 run through columnar
+            # kernels in the refine and ship 4 doubles, never the WKT.
             for pdf in it:
-                cols = {k: [] for k in ("probe_id", "pminx", "pminy", "pmaxx",
-                                        "pmaxy", "is_rect", "wkt", "cell_id")}
+                cols = {k: [] for k in ("probe_id", "p0", "p1", "p2",
+                                        "p3", "pkind", "wkt", "cell_id")}
                 for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
                     g = wkt_codec.loads(w_)
                     if core.is_empty(g):
                         continue
                     b = core.bounds(g)
-                    rect = _probe_is_rect(g, b)
+                    if _probe_is_rect(g, b):
+                        pk, pvals, wout = 1, b, None
+                    elif g["type"] == "LineString" and len(g["xy"]) == 2:
+                        xy = g["xy"]
+                        pk, wout = 2, None
+                        pvals = (float(xy[0][0]), float(xy[0][1]),
+                                 float(xy[1][0]), float(xy[1][1]))
+                    else:
+                        pk, pvals, wout = 0, b, w_
                     cells = grid.cover_bbox(*b, base_res)
                     k = len(cells)
                     cols["probe_id"].extend([pid] * k)
-                    cols["pminx"].extend([b[0]] * k)
-                    cols["pminy"].extend([b[1]] * k)
-                    cols["pmaxx"].extend([b[2]] * k)
-                    cols["pmaxy"].extend([b[3]] * k)
-                    cols["is_rect"].extend([1 if rect else 0] * k)
-                    cols["wkt"].extend([None if rect else w_] * k)
+                    cols["p0"].extend([pvals[0]] * k)
+                    cols["p1"].extend([pvals[1]] * k)
+                    cols["p2"].extend([pvals[2]] * k)
+                    cols["p3"].extend([pvals[3]] * k)
+                    cols["pkind"].extend([pk] * k)
+                    cols["wkt"].extend([wout] * k)
                     cols["cell_id"].extend(cells.tolist())
                 yield pd.DataFrame(cols).astype(
-                    {"probe_id": "int64", "cell_id": "int64", "is_rect": "int64"})
+                    {"probe_id": "int64", "cell_id": "int64", "pkind": "int64"})
 
         cover = probes.select("probe_id", "wkt").mapInPandas(cover_fn, cover_schema)
         joined = cover.join(self._tiles_for(where), "cell_id")
@@ -708,6 +715,35 @@ class SpatialEngine:
             # (tile WKB decodes once per task, as in the point refine)
             registry: dict[tuple, np.ndarray] = {}
             probe_cache: dict[int, dict] = {}
+
+            def _tile_groups(pdf, idx, tmnx, tmny):
+                """Group candidate rows per tile: lexsorted index, group
+                boundaries, and decoded tile segments per group."""
+                cid = pdf["cell_id"].to_numpy()[idx]
+                rid = pdf["region_id"].to_numpy()[idx]
+                xb = tmnx[idx].view(np.int64)
+                yb = tmny[idx].view(np.int64)
+                order = np.lexsort((yb, xb, rid, cid))
+                cs, rs, xs, ys = cid[order], rid[order], xb[order], yb[order]
+                new_grp = np.empty(len(idx), dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (np.diff(cs) != 0) | (np.diff(rs) != 0) | \
+                              (np.diff(xs) != 0) | (np.diff(ys) != 0)
+                starts = np.nonzero(new_grp)[0]
+                ends = np.append(starts[1:], len(idx))
+                wkb_col = pdf["tile_wkb"].to_numpy()[idx][order]
+
+                def segs_at(s0):
+                    key = (cs[s0], rs[s0], xs[s0], ys[s0])
+                    segs = registry.get(key)
+                    if segs is None:
+                        g = wkb.loads(bytes(wkb_col[s0]))
+                        segs = predicates.segments_of_rings(core.all_rings(g))
+                        registry[key] = segs
+                    return segs
+
+                return order, starts, ends, segs_at
+
             for pdf in it:
                 n = len(pdf)
                 if n == 0:
@@ -715,11 +751,11 @@ class SpatialEngine:
                                         "region_id": pd.Series([], dtype="int64")})
                     continue
                 kind = pdf["kind"].to_numpy()
-                is_rect = pdf["is_rect"].to_numpy() == 1
-                pmnx = pdf["pminx"].to_numpy(dtype=np.float64)
-                pmny = pdf["pminy"].to_numpy(dtype=np.float64)
-                pmxx = pdf["pmaxx"].to_numpy(dtype=np.float64)
-                pmxy = pdf["pmaxy"].to_numpy(dtype=np.float64)
+                pkind = pdf["pkind"].to_numpy()
+                p0 = pdf["p0"].to_numpy(dtype=np.float64)
+                p1 = pdf["p1"].to_numpy(dtype=np.float64)
+                p2 = pdf["p2"].to_numpy(dtype=np.float64)
+                p3 = pdf["p3"].to_numpy(dtype=np.float64)
                 tmnx = pdf["minx"].to_numpy(dtype=np.float64)
                 tmny = pdf["miny"].to_numpy(dtype=np.float64)
                 tmxx = pdf["maxx"].to_numpy(dtype=np.float64)
@@ -728,44 +764,32 @@ class SpatialEngine:
 
                 # ---- rect probe × rect tile: one closed bbox-overlap test
                 # (closed ⇒ boundary touch counts, OGC `intersects`)
-                m_rr = is_rect & (kind != 0)
+                m_rr = (pkind == 1) & (kind != 0)
                 if m_rr.any():
                     hit_all[m_rr] = (
-                        (pmnx[m_rr] <= tmxx[m_rr]) & (pmxx[m_rr] >= tmnx[m_rr])
-                        & (pmny[m_rr] <= tmxy[m_rr]) & (pmxy[m_rr] >= tmny[m_rr])
+                        (p0[m_rr] <= tmxx[m_rr]) & (p2[m_rr] >= tmnx[m_rr])
+                        & (p1[m_rr] <= tmxy[m_rr]) & (p3[m_rr] >= tmny[m_rr])
                     )
+
+                # ---- seg probe × rect tile: exact orientation kernel
+                m_sr = (pkind == 2) & (kind != 0)
+                if m_sr.any():
+                    hit_all[m_sr] = predicates.segs_intersect_rects(
+                        p0[m_sr], p1[m_sr], p2[m_sr], p3[m_sr],
+                        tmnx[m_sr], tmny[m_sr], tmxx[m_sr], tmxy[m_sr])
 
                 # ---- rect probe × boundary tile: group per tile, then
                 # (a) any tile segment touches the rect (Liang-Barsky,
                 #     batched probes × segments — also covers tile ⊂ rect)
                 # (b) rect corner inside the tile polygon (rect ⊂ tile)
-                m_rb = np.nonzero(is_rect & (kind == 0))[0]
+                m_rb = np.nonzero((pkind == 1) & (kind == 0))[0]
                 if len(m_rb):
-                    cid = pdf["cell_id"].to_numpy()[m_rb]
-                    rid = pdf["region_id"].to_numpy()[m_rb]
-                    xb = tmnx[m_rb].view(np.int64)
-                    yb = tmny[m_rb].view(np.int64)
-                    order = np.lexsort((yb, xb, rid, cid))
-                    cs, rs, xs, ys = cid[order], rid[order], xb[order], yb[order]
-                    new_grp = np.empty(len(m_rb), dtype=bool)
-                    new_grp[0] = True
-                    new_grp[1:] = (np.diff(cs) != 0) | (np.diff(rs) != 0) | \
-                                  (np.diff(xs) != 0) | (np.diff(ys) != 0)
-                    starts = np.nonzero(new_grp)[0]
-                    ends = np.append(starts[1:], len(m_rb))
-                    wkb_col = pdf["tile_wkb"].to_numpy()[m_rb][order]
-                    a0 = pmnx[m_rb][order]
-                    a1 = pmny[m_rb][order]
-                    a2 = pmxx[m_rb][order]
-                    a3 = pmxy[m_rb][order]
+                    order, starts, ends, segs_at = _tile_groups(pdf, m_rb, tmnx, tmny)
+                    a0, a1 = p0[m_rb][order], p1[m_rb][order]
+                    a2, a3 = p2[m_rb][order], p3[m_rb][order]
                     hit0 = np.zeros(len(m_rb), dtype=bool)
                     for s0, s1 in zip(starts, ends):
-                        key = (cs[s0], rs[s0], xs[s0], ys[s0])
-                        segs = registry.get(key)
-                        if segs is None:
-                            g = wkb.loads(bytes(wkb_col[s0]))
-                            segs = predicates.segments_of_rings(core.all_rings(g))
-                            registry[key] = segs
+                        segs = segs_at(s0)
                         touch = predicates.segments_in_cells(
                             segs, a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1])
                         inside = predicates.points_intersect_prepared(
@@ -775,9 +799,29 @@ class SpatialEngine:
                     back[order] = np.arange(len(m_rb))
                     hit_all[m_rb] = hit0[back]
 
-                # ---- non-rect probes (lines / general polygons): exact
-                # pairwise fallback — rare, and each probe parses once
-                m_g = np.nonzero(~is_rect)[0]
+                # ---- seg probe × boundary tile: (a) probe segment
+                # crosses any tile segment (orientation broadcast);
+                # (b) probe endpoint inside the tile polygon (seg ⊂ tile)
+                m_sb = np.nonzero((pkind == 2) & (kind == 0))[0]
+                if len(m_sb):
+                    order, starts, ends, segs_at = _tile_groups(pdf, m_sb, tmnx, tmny)
+                    a0, a1 = p0[m_sb][order], p1[m_sb][order]
+                    a2, a3 = p2[m_sb][order], p3[m_sb][order]
+                    hit0 = np.zeros(len(m_sb), dtype=bool)
+                    for s0, s1 in zip(starts, ends):
+                        segs = segs_at(s0)
+                        cross = predicates.segs_intersect_segs_any(
+                            a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1], segs)
+                        inside = predicates.points_intersect_prepared(
+                            a0[s0:s1], a1[s0:s1], segs)
+                        hit0[s0:s1] = cross | inside
+                    back = np.empty(len(m_sb), dtype=np.int64)
+                    back[order] = np.arange(len(m_sb))
+                    hit_all[m_sb] = hit0[back]
+
+                # ---- general probes (multi-segment lines / polygons):
+                # exact pairwise fallback — rare, each probe parses once
+                m_g = np.nonzero(pkind == 0)[0]
                 if len(m_g):
                     pid_g = pdf["probe_id"].to_numpy()[m_g]
                     wkt_g = pdf["wkt"].to_numpy()[m_g]
@@ -807,7 +851,7 @@ class SpatialEngine:
                 yield out.astype({"probe_id": "int64", "region_id": "int64"})
 
         matches = joined.select(
-            "probe_id", "pminx", "pminy", "pmaxx", "pmaxy", "is_rect", "wkt",
+            "probe_id", "p0", "p1", "p2", "p3", "pkind", "wkt",
             "cell_id", "region_id", "kind",
             "minx", "miny", "maxx", "maxy", "tile_wkb",
         ).mapInPandas(refine_fn, refine_schema).dropDuplicates(["probe_id", "region_id"])

@@ -132,6 +132,19 @@ def miss_probes_sql(events: str = "events") -> str:
     )
 
 
+def line_probes_sql(orders: str = "orders") -> str:
+    """Deterministic single-segment line probes (Q3 line analog) —
+    diagonal segments with varying direction, dyadic endpoints."""
+    return (
+        f"SELECT o_orderkey AS probe_id, "
+        f"CAST(o_orderkey * 7 % 2048 AS DOUBLE) / 64 AS x1, "
+        f"CAST(o_orderkey * 17 % 2048 AS DOUBLE) / 64 AS y1, "
+        f"CAST(o_orderkey * 7 % 2048 AS DOUBLE) / 64 + 1 + CAST(o_orderkey % 192 AS DOUBLE) / 64 AS x2, "
+        f"CAST(o_orderkey * 17 % 2048 AS DOUBLE) / 64 - 1 + CAST(o_orderkey * 5 % 256 AS DOUBLE) / 64 AS y2 "
+        f"FROM {orders} WHERE o_orderkey % 53 = 0"
+    )
+
+
 def rect_probes_sql(orders: str = "orders") -> str:
     """Deterministic rectangle probes from orders (Q3 analog)."""
     return (

@@ -298,6 +298,59 @@ def any_segment_intersection(a: np.ndarray, b: np.ndarray) -> bool:
     return bool(touch.any())
 
 
+def _pair_seg_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Elementwise (broadcastable) segment×segment intersect,
+    boundary-inclusive — exact orientation arithmetic (no division), so
+    results are bit-reproducible against an oracle computing the same
+    products on dyadic-rational coordinates."""
+    d1 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & \
+             (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on(dv, px_, py_, sx1, sy1, sx2, sy2):
+        return (dv == 0) & (np.minimum(sx1, sx2) <= px_) & (px_ <= np.maximum(sx1, sx2)) & \
+               (np.minimum(sy1, sy2) <= py_) & (py_ <= np.maximum(sy1, sy2))
+
+    touch = (
+        on(d1, bx1, by1, ax1, ay1, ax2, ay2)
+        | on(d2, bx2, by2, ax1, ay1, ax2, ay2)
+        | on(d3, ax1, ay1, bx1, by1, bx2, by2)
+        | on(d4, ax2, ay2, bx1, by1, bx2, by2)
+    )
+    return proper | touch
+
+
+def segs_intersect_rects(px1, py1, px2, py2, rx0, ry0, rx1, ry1) -> np.ndarray:
+    """(N,) bool: probe segment i intersects closed rect i — endpoint
+    containment OR any of the 4 rect edges, all exact orientation math
+    (division-free, unlike Liang-Barsky)."""
+    hit = ((px1 >= rx0) & (px1 <= rx1) & (py1 >= ry0) & (py1 <= ry1)) | \
+          ((px2 >= rx0) & (px2 <= rx1) & (py2 >= ry0) & (py2 <= ry1))
+    for ex1, ey1, ex2, ey2 in (
+        (rx0, ry0, rx1, ry0), (rx1, ry0, rx1, ry1),
+        (rx1, ry1, rx0, ry1), (rx0, ry1, rx0, ry0),
+    ):
+        hit |= _pair_seg_intersect(px1, py1, px2, py2, ex1, ey1, ex2, ey2)
+    return hit
+
+
+def segs_intersect_segs_any(px1, py1, px2, py2, segs: np.ndarray) -> np.ndarray:
+    """(P,) bool: probe segment p intersects ANY of the (S,4) segments
+    (boundary-inclusive). (P × S) orientation broadcast, reduced per
+    probe."""
+    P = len(px1)
+    if len(segs) == 0 or P == 0:
+        return np.zeros(P, dtype=bool)
+    hit = _pair_seg_intersect(
+        px1[:, None], py1[:, None], px2[:, None], py2[:, None],
+        segs[None, :, 0], segs[None, :, 1], segs[None, :, 2], segs[None, :, 3],
+    )
+    return hit.any(axis=1)
+
+
 def geoms_intersect(a: dict, b: dict) -> bool:
     """OGC SFS `intersects` between two geometries (Point / LineString /
     Polygon / MultiPolygon), boundary-inclusive — the engine-side analog
