@@ -53,6 +53,96 @@ def _fake_feature(media_ref: str) -> np.ndarray:
     return raw / 65535.0
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb", StructType([
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ])),
+])
+
+
+def resize_images(decoded: DataFrame, max_side: int = 4) -> DataFrame:
+    """Resize stage (stub decode): derives a deterministic WxH from the
+    media_ref hash, then emits an aspect-preserving max_side thumbnail
+    whose "pixels" are hash-derived — the Spark-side plumbing (struct
+    output schema, Arrow batching, aspect arithmetic) is real; swap
+    `_fake_feature`-style synthesis for PIL when decoders exist."""
+    img = decoded.filter(F.col("kind") == "image")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, thumbs = [], [], []
+            for ref in pdf["media_ref"]:
+                h = hashlib.sha256(ref.encode()).digest()
+                w0 = 64 + h[0] % 192
+                h0 = 64 + h[1] % 192
+                if w0 >= h0:
+                    tw = max_side
+                    th = max(1, (h0 * max_side) // w0)
+                else:
+                    th = max_side
+                    tw = max(1, (w0 * max_side) // h0)
+                px = np.frombuffer(
+                    (hashlib.sha256(ref.encode() + b"#t").digest() * 8)[: tw * th],
+                    dtype=np.uint8,
+                ).astype(np.float32) / 255.0
+                ws.append(w0)
+                hs.append(h0)
+                thumbs.append({"w": tw, "h": th, "pixels": px.tolist()})
+            out = pdf[["doc_id", "span_idx", "media_ref"]].copy()
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["thumb"] = thumbs
+            yield out
+
+    return img.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("media_ref", StringType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_feature", ArrayType(FloatType())),
+])
+
+
+def sample_frames(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sample stage for video/audio spans (stub decode): a
+    deterministic hash-derived frame count, one output row per sampled
+    frame (every_n stride) with a per-frame feature vector. Real
+    plumbing (explode-shaped mapInPandas, per-frame rows), fake frames."""
+    med = decoded.filter(F.col("kind").isin("video", "audio"))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "span_idx", "media_ref",
+                                    "frame_no", "frame_feature")}
+            for did, sidx, ref in zip(pdf["doc_id"], pdf["span_idx"],
+                                      pdf["media_ref"]):
+                h = hashlib.sha256(ref.encode()).digest()
+                n_frames = 30 + h[2] % 270
+                for f0 in range(0, n_frames, every_n):
+                    rows["doc_id"].append(did)
+                    rows["span_idx"].append(sidx)
+                    rows["media_ref"].append(ref)
+                    rows["frame_no"].append(f0)
+                    rows["frame_feature"].append(
+                        _fake_feature(f"{ref}#f{f0}").tolist())
+            out = pd.DataFrame(rows)
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["frame_no"] = out["frame_no"].astype("int32")
+            yield out
+
+    return med.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def decode_media(docs: DataFrame, fake: bool = True) -> DataFrame:
     """Explode media spans and extract a feature vector per span.
 

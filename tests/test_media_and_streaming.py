@@ -42,6 +42,32 @@ class TestFilters:
             filters.id_where("1 OR 1=1")
 
 
+class TestMediaStages:
+    def test_resize_and_frame_sample(self, spark):
+        from areacity_query_geometry_spark import docs as docsmod
+        from areacity_query_geometry_spark.functions import media
+
+        docs = docsmod.generate_docs(spark, n_docs=60, seed=7)
+        decoded = media.decode_media(docs, fake=True)
+        thumbs = media.resize_images(decoded, max_side=4).collect()
+        assert thumbs  # the generator always produces image spans
+        for t in thumbs:
+            assert 1 <= t.thumb.w <= 4 and 1 <= t.thumb.h <= 4
+            assert max(t.thumb.w, t.thumb.h) == 4
+            assert len(t.thumb.pixels) == t.thumb.w * t.thumb.h
+            # aspect preserved within integer truncation
+            assert (t.width >= t.height) == (t.thumb.w >= t.thumb.h)
+        frames = media.sample_frames(decoded, every_n=50).collect()
+        assert frames
+        for f in frames:
+            assert f.frame_no % 50 == 0
+            assert len(f.frame_feature) == media.FEATURE_DIM
+        # determinism: same input → same output
+        again = media.sample_frames(media.decode_media(docs, fake=True),
+                                    every_n=50).collect()
+        assert sorted(map(str, frames)) == sorted(map(str, again))
+
+
 class TestStreaming:
     def test_stream_matches_batch(self, spark, province_engine, tmp_path):
         batch_pts = spark.range(200).select(
