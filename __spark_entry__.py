@@ -67,6 +67,23 @@ def q2_nearest_region_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_knn3_per_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized kNN: 3 nearest regions PER admin level for each miss
+    probe (the reference is hard-wired to k=1 per `deep`,
+    AreaCityQuery.java:136-141; the engine exposes k as the window
+    bound, SURVEY.md Q2 row)."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    probes = spark.sql(fixtures.miss_probes_sql("events"))
+    out = eng.query_points_with_tolerance(probes, tolerance_m=-1, k=3)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+        F.round(F.col("point_distance"), 2).alias("dist_m"),
+    )
+
+
 def q3_rect_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("orders",))
     eng = _engine(spark)
@@ -711,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_point_region_join": q1_point_region_join,
         "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
+        "q2_knn3_per_level": q2_knn3_per_level,
         "q3_rect_probe_join": q3_rect_probe_join,
         "q3_line_probe_join": q3_line_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
@@ -775,6 +793,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT point_id, code AS region_code, CAST(deep AS BIGINT) AS deep,
                    round(dist_m, 2) AS dist_m
             FROM win WHERE rn = 1
+        """,
+        "q2_knn3_per_level": f"""
+            WITH probes AS ({miss}),
+            cand AS (
+                SELECT p.point_id, r.ord, r.code, r.deep, {hav} AS dist_m
+                FROM probes p CROSS JOIN {regions}
+            ),
+            feat AS (
+                SELECT point_id, ord, code, deep, min(dist_m) AS dist_m
+                FROM cand GROUP BY point_id, ord, code, deep
+            ),
+            win AS (
+                SELECT point_id, code, deep, dist_m,
+                       row_number() OVER (PARTITION BY point_id, deep
+                                          ORDER BY dist_m, ord) AS rn
+                FROM feat
+            )
+            SELECT point_id, code AS region_code, CAST(deep AS BIGINT) AS deep,
+                   round(dist_m, 2) AS dist_m
+            FROM win WHERE rn <= 3
         """,
         "q3_rect_probe_join": f"""
             WITH probes AS ({rects})

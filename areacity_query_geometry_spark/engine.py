@@ -572,7 +572,16 @@ class SpatialEngine:
     def _dists_unlimited_reverse(self, rows: list, tiles_b: DataFrame) -> DataFrame:
         """tolerance=-1 distance stage: broadcast the (pre-collected) miss
         points, scan tiles once, min-reduce per (point, region) within
-        each partition."""
+        each partition.
+
+        Distance definition: haversine AT THE PLANAR-NEAREST boundary
+        point of the region (argmin by planar distance across tiles,
+        haversine evaluated once at the winner). This is well-defined
+        and tiling-independent; the reference's per-tile
+        min-of-haversines (AreaCityQuery.java:131-135) depends on its
+        grid split for far-away features — for the nearest feature (the
+        only one the reference ever returns, k=1) the two definitions
+        coincide."""
         pid = np.array([r["point_id"] for r in rows], dtype=np.int64)
         px = np.array([r["lng"] for r in rows], dtype=np.float64)
         py = np.array([r["lat"] for r in rows], dtype=np.float64)
@@ -585,23 +594,28 @@ class SpatialEngine:
 
         def over_tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pid_, px_, py_ = b_pts.value
-            best: dict[int, np.ndarray] = {}
+            best: dict[int, tuple] = {}  # rid → (planar_d, nx, ny)
             for pdf in it:
                 for rid, twkb in zip(pdf["region_id"], pdf["tile_wkb"]):
                     g = wkb.loads(bytes(twkb))
                     segs = predicates.segments_of_rings(core.all_rings(g))
-                    nx, ny, _ = predicates.nearest_on_segments(px_, py_, segs)
-                    d = np.asarray(distance.haversine(nx, ny, px_, py_), dtype=np.float64)
-                    arr = best.get(int(rid))
-                    if arr is None:
-                        best[int(rid)] = d
+                    nx, ny, d = predicates.nearest_on_segments(px_, py_, segs)
+                    ent = best.get(int(rid))
+                    if ent is None:
+                        best[int(rid)] = (np.asarray(d, dtype=np.float64),
+                                          np.asarray(nx), np.asarray(ny))
                     else:
-                        np.minimum(arr, d, out=arr)
+                        bd, bnx, bny = ent
+                        m = d < bd
+                        bd[m] = d[m]
+                        bnx[m] = nx[m]
+                        bny[m] = ny[m]
             out_p, out_r, out_d = [], [], []
-            for rid, arr in best.items():
+            for rid, (bd, bnx, bny) in best.items():
                 out_p.append(pid_)
                 out_r.append(np.full(len(pid_), rid, dtype=np.int64))
-                out_d.append(arr)
+                out_d.append(np.asarray(
+                    distance.haversine(bnx, bny, px_, py_), dtype=np.float64))
             if out_p:
                 yield pd.DataFrame({
                     "point_id": np.concatenate(out_p),
