@@ -233,19 +233,28 @@ class SpatialEngine:
         base_res: int,
         broadcast_tiles: bool = True,
         salt_buckets: int = 0,
+        probe_salt: int = 8,
     ):
         """salt_buckets: when the tile set is too large to broadcast
         (broadcast_tiles=False) the join becomes a shuffle join on
         cell_id, and dense-city probe skew concentrates on few cells —
         salting replicates each tile row S× under (cell_id, salt) and
         spreads probe rows pseudo-randomly over the S replicas
-        (SURVEY.md §4 skew row). 0 disables."""
+        (SURVEY.md §4 skew row). 0 disables.
+
+        probe_salt: salt modulus for the boundary-probe repartition on
+        the broadcast path — dense-city probe skew piles millions of
+        points into a handful of boundary cells, and the (cell_id,
+        salt) repartition splits each hot cell across `probe_salt`
+        reducers (tile WKB broadcasts, so replication costs nothing).
+        1 disables (one reducer per cell — skew-exposed)."""
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
         self.base_res = base_res
         self.broadcast_tiles = broadcast_tiles
         self.salt_buckets = salt_buckets
+        self.probe_salt = max(1, probe_salt)
 
     # ------------------------------------------------------------ build
 
@@ -330,7 +339,8 @@ class SpatialEngine:
                 F.broadcast(tiles_b.select("cell_id").distinct()),
                 "cell_id", "left_semi")
             n_parts = self.spark.sparkContext.defaultParallelism
-            salt = F.pmod(F.xxhash64(F.col(lng), F.col(lat)), F.lit(8)).cast("int")
+            salt = F.pmod(F.xxhash64(F.col(lng), F.col(lat)),
+                          F.lit(self.probe_salt)).cast("int")
             bpts = bpts.repartition(n_parts, F.col("cell_id"), salt)
             brows = bpts.join(tiles_b, "cell_id")
         boundary = brows.select(
