@@ -238,6 +238,23 @@ def doc_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def region_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation surface over the docs↔region join: doc counts per
+    (admin level, region) with ROLLUP subtotals — the distributed
+    generalization of the reference's only aggregates (query counters,
+    SURVEY.md §2.5/§2.6). Rollup nulls are coalesced to sentinels so
+    the oracle compare is null-free."""
+    doc_geo_join(spark, sf_dir).createOrReplaceTempView("doc_region_hits")
+    return spark.sql("""
+        SELECT coalesce(deep, -1) AS deep,
+               coalesce(region_code, 'ALL') AS region_code,
+               count(*) AS n_hits,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM doc_region_hits
+        GROUP BY ROLLUP(deep, region_code)
+    """)
+
+
 def raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raster↔vector: burn every region onto the uniform res-6 grid
     (5.625° cells) and count fully-covered vs edge cells per region."""
@@ -735,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
+        "region_doc_rollup": region_doc_rollup,
         "raster_coverage": raster_coverage,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -846,6 +864,24 @@ def oracle_sql() -> dict[str, str]:
               ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
              AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
                       AND p.lat > r.hy0 AND p.lat < r.hy1)
+        """,
+        "region_doc_rollup": f"""
+            WITH probes AS ({probes}),
+            j AS (
+                SELECT DISTINCT CAST(p.point_id AS VARCHAR) AS doc_id,
+                       r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+            )
+            SELECT coalesce(deep, -1) AS deep,
+                   coalesce(region_code, 'ALL') AS region_code,
+                   count(*) AS n_hits,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM j
+            GROUP BY ROLLUP(deep, region_code)
         """,
         "media_span_features": f"""
             WITH d AS (
