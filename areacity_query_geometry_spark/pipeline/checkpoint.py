@@ -51,6 +51,7 @@ def run_checkpointed_geo_join(
     run_id: str | None = None,
     where: str | None = None,
     fail_after_bucket: int | None = None,
+    files_per_bucket: int = 1,
 ) -> str:
     """Execute the span-preserving docs→regions join bucket by bucket.
 
@@ -75,9 +76,12 @@ def run_checkpointed_geo_join(
         rows_in = part.count()
         joined = docsmod.join_docs_to_regions(engine, part, where=where)
         # idempotent per-bucket overwrite: a crashed bucket is rewritten
-        # whole on retry, never appended twice
+        # whole on retry, never appended twice. files_per_bucket=1 gives
+        # byte-identical resume output at test scale; at cluster scale
+        # raise it (output stays deterministic per file: hash partition
+        # by doc_id + sort within)
         (joined.withColumn("bucket", F.lit(b))
-               .repartition(1)
+               .repartition(files_per_bucket, "doc_id")
                .sortWithinPartitions("doc_id")
                .write.mode("overwrite")
                .parquet(os.path.join(data_dir, f"bucket={b}")))
