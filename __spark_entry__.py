@@ -21,16 +21,34 @@ from areacity_query_geometry_spark.geom.distance import haversine_sql
 _ENGINE_CACHE: dict[int, SpatialEngine] = {}
 
 
+_FIXTURE_STORE = "/tmp/aqgs_fixture_store_v1"
+
+
 def _engine(spark: SparkSession) -> SpatialEngine:
+    """Fixture-world engine, persisted through the tile store (the
+    wkbs fast-start cache analog, dogfooded): the first session builds
+    and saves; later sessions load the parquet store in ~1s."""
     key = id(spark)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         from areacity_query_geometry_spark import tiler
+        from areacity_query_geometry_spark.sources import tile_store
 
-        boundaries = fixtures.boundaries_df(spark).cache()
-        tiles = tiler.build_tiles(boundaries, base_res=7, max_res=9).cache()
-        tiles.count()  # materialize once
-        eng = SpatialEngine(spark, boundaries, tiles, base_res=7)
+        if tile_store.available(_FIXTURE_STORE, 7, 9, 48):
+            eng = tile_store.load(spark, _FIXTURE_STORE)
+        else:
+            boundaries = fixtures.boundaries_df(spark).cache()
+            tiles = tiler.build_tiles(boundaries, base_res=7, max_res=9).cache()
+            tiles.count()  # materialize once
+            eng = SpatialEngine(spark, boundaries, tiles, base_res=7)
+            try:
+                tile_store.save(eng, _FIXTURE_STORE,
+                                {"base_res": 7, "max_res": 9, "seg_budget": 48})
+            except Exception:
+                pass  # read-only /tmp → keep the in-memory engine
+        eng.tiles = eng.tiles.cache()
+        eng.boundaries = eng.boundaries.cache()
+        eng.tiles.count()
         _ENGINE_CACHE[key] = eng
     return eng
 
