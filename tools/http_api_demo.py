@@ -65,8 +65,18 @@ class Handler(BaseHTTPRequestHandler):
                     df = eng.query_points(pts, where=where)
                     rows = [r.prop_json for r in df.collect()]
             elif verb == "querygeometry":
+                wkt_in = qs["wkt"][0]
+                # reject unparseable WKT with an error envelope (the
+                # reference errors on bad params, Test_HttpApiServer.java)
+                # instead of silently matching nothing
+                from areacity_query_geometry_spark.geom import (
+                    core as _core, wkt as _wkt,
+                )
+                if _core.is_empty(_wkt.loads(wkt_in)) and "EMPTY" not in wkt_in.upper():
+                    self._send(envelope(500, None, "wkt invalid"), 500)
+                    return
                 probes = eng.spark.createDataFrame(
-                    [(0, qs["wkt"][0])], "probe_id long, wkt string")
+                    [(0, wkt_in)], "probe_id long, wkt string")
                 rows = [r.prop_json for r in eng.query_geometry(probes, where=where).collect()]
             elif verb == "readwkt":
                 rows = [
