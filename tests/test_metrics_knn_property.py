@@ -96,3 +96,40 @@ class TestKernelProperties:
         if len(out):
             assert out[:, 0].min() >= -50 - 1e-9 and out[:, 0].max() <= 50 + 1e-9
             assert out[:, 1].min() >= -50 - 1e-9 and out[:, 1].max() <= 50 + 1e-9
+
+    @given(st.integers(min_value=0, max_value=10_000_000))
+    @settings(max_examples=150, deadline=None)
+    def test_seg_rect_kernel_matches_scalar(self, seed):
+        """Vectorized segs_intersect_rects ≡ scalar geoms_intersect
+        (seg as LineString vs rect polygon) on random configurations,
+        including snapped-to-grid cases that force touches."""
+        from areacity_query_geometry_spark.geom import distance
+
+        rng = np.random.default_rng(seed)
+        n = 32
+        snap = lambda a: np.round(a * 4) / 4  # force exact touches often
+        px1 = snap(rng.uniform(-10, 10, n)); py1 = snap(rng.uniform(-10, 10, n))
+        px2 = snap(rng.uniform(-10, 10, n)); py2 = snap(rng.uniform(-10, 10, n))
+        rx0 = snap(rng.uniform(-10, 8, n)); ry0 = snap(rng.uniform(-10, 8, n))
+        rx1 = rx0 + snap(rng.uniform(0.25, 4, n)); ry1 = ry0 + snap(rng.uniform(0.25, 4, n))
+        got = predicates.segs_intersect_rects(px1, py1, px2, py2, rx0, ry0, rx1, ry1)
+        for i in range(n):
+            seg = {"type": "LineString",
+                   "xy": np.array([[px1[i], py1[i]], [px2[i], py2[i]]])}
+            want = predicates.geoms_intersect(seg, distance.rect(rx0[i], ry0[i], rx1[i], ry1[i]))
+            assert bool(got[i]) == want, (i, px1[i], py1[i], px2[i], py2[i],
+                                          rx0[i], ry0[i], rx1[i], ry1[i])
+
+    @given(st.integers(min_value=0, max_value=10_000_000))
+    @settings(max_examples=100, deadline=None)
+    def test_seg_vs_segs_kernel_matches_scalar(self, seed):
+        rng = np.random.default_rng(seed)
+        snap = lambda a: np.round(a * 4) / 4
+        segs = np.column_stack([snap(rng.uniform(-5, 5, 12)) for _ in range(4)])
+        px1 = snap(rng.uniform(-6, 6, 16)); py1 = snap(rng.uniform(-6, 6, 16))
+        px2 = snap(rng.uniform(-6, 6, 16)); py2 = snap(rng.uniform(-6, 6, 16))
+        got = predicates.segs_intersect_segs_any(px1, py1, px2, py2, segs)
+        for i in range(16):
+            a = np.array([[px1[i], py1[i], px2[i], py2[i]]])
+            want = predicates.any_segment_intersection(a, segs)
+            assert bool(got[i]) == want
