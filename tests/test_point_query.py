@@ -102,3 +102,24 @@ class TestLatticeSweepInvariants:
             for i in np.nonzero(hit)[0].tolist():
                 oracle.setdefault(i, set()).add(name)
         assert engine_hits == oracle
+
+
+class TestTileGolden:
+    def test_fixture_tile_stats_snapshot(self, spark):
+        """Pins the tiler's per-region (n_tiles, n_interior) on the
+        fixture world to a committed golden — the q5 gate query has no
+        SQL oracle, so this snapshot is its regression check. A
+        deliberate tiler change must regenerate the golden AND bump
+        GRID_VERSION (the /tmp fixture-store cache key)."""
+        import json
+        import os
+
+        import __spark_entry__ as entrymod
+
+        rows = entrymod.queries()["q5_tile_stats"](
+            spark, "/root/testdata/sf0.001").collect()
+        got = {r.region_code: [r.n_tiles, r.n_interior] for r in rows}
+        golden_path = os.path.join(os.path.dirname(__file__),
+                                   "golden_tile_stats.json")
+        want = json.load(open(golden_path))
+        assert got == want
