@@ -692,28 +692,20 @@ class SpatialEngine:
 
         def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # Probe classification: pkind 1 = axis-aligned rect or point
-            # (p0..p3 = bbox), pkind 2 = single-segment line (p0..p3 =
-            # endpoints), pkind 0 = general geometry (carries WKT to the
-            # exact pairwise fallback). Kinds 1/2 run through columnar
-            # kernels in the refine and ship 4 doubles, never the WKT.
+            # (p0..p3 = bbox), pkind 2 = line SEGMENT (p0..p3 =
+            # endpoints; a multi-segment LineString decomposes into one
+            # row per segment — lines have no interior, so the union of
+            # per-segment hits IS the line's hit-set, and each segment's
+            # own bbox cover is far tighter than the whole line's),
+            # pkind 0 = general polygonal geometry (carries WKT to the
+            # exact pairwise fallback — polygons can't decompose this
+            # way because containment needs the interior). Kinds 1/2 run
+            # through columnar kernels and ship 4 doubles, never WKT.
             for pdf in it:
                 cols = {k: [] for k in ("probe_id", "p0", "p1", "p2",
                                         "p3", "pkind", "wkt", "cell_id")}
-                for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
-                    g = wkt_codec.loads(w_)
-                    if core.is_empty(g):
-                        continue
-                    b = core.bounds(g)
-                    if _probe_is_rect(g, b):
-                        pk, pvals, wout = 1, b, None
-                    elif g["type"] == "LineString" and len(g["xy"]) == 2:
-                        xy = g["xy"]
-                        pk, wout = 2, None
-                        pvals = (float(xy[0][0]), float(xy[0][1]),
-                                 float(xy[1][0]), float(xy[1][1]))
-                    else:
-                        pk, pvals, wout = 0, b, w_
-                    cells = grid.cover_bbox(*b, base_res)
+
+                def emit(pid, pk, pvals, wout, cells):
                     k = len(cells)
                     cols["probe_id"].extend([pid] * k)
                     cols["p0"].extend([pvals[0]] * k)
@@ -723,6 +715,25 @@ class SpatialEngine:
                     cols["pkind"].extend([pk] * k)
                     cols["wkt"].extend([wout] * k)
                     cols["cell_id"].extend(cells.tolist())
+
+                for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
+                    g = wkt_codec.loads(w_)
+                    if core.is_empty(g):
+                        continue
+                    b = core.bounds(g)
+                    if _probe_is_rect(g, b):
+                        emit(pid, 1, b, None, grid.cover_bbox(*b, base_res))
+                    elif g["type"] == "LineString":
+                        xy = g["xy"]
+                        for s in range(len(xy) - 1):
+                            x1, y1 = float(xy[s][0]), float(xy[s][1])
+                            x2, y2 = float(xy[s + 1][0]), float(xy[s + 1][1])
+                            emit(pid, 2, (x1, y1, x2, y2), None,
+                                 grid.cover_bbox(min(x1, x2), min(y1, y2),
+                                                 max(x1, x2), max(y1, y2),
+                                                 base_res))
+                    else:
+                        emit(pid, 0, b, w_, grid.cover_bbox(*b, base_res))
                 yield pd.DataFrame(cols).astype(
                     {"probe_id": "int64", "cell_id": "int64", "pkind": "int64"})
 
