@@ -732,6 +732,21 @@ class SpatialEngine:
                                  grid.cover_bbox(min(x1, x2), min(y1, y2),
                                                  max(x1, x2), max(y1, y2),
                                                  base_res))
+                    elif g["type"] in ("Polygon", "MultiPolygon"):
+                        # general polygon: boundary segments (pkind 2 —
+                        # catches every boundary crossing and probe⊂tile
+                        # via the endpoint-inside term) + one pkind-3
+                        # containment row per covered cell (carries WKT;
+                        # catches tile⊂probe when no boundary crossing)
+                        for ring in core.all_rings(g):
+                            for s in range(len(ring) - 1):
+                                x1, y1 = float(ring[s][0]), float(ring[s][1])
+                                x2, y2 = float(ring[s + 1][0]), float(ring[s + 1][1])
+                                emit(pid, 2, (x1, y1, x2, y2), None,
+                                     grid.cover_bbox(min(x1, x2), min(y1, y2),
+                                                     max(x1, x2), max(y1, y2),
+                                                     base_res))
+                        emit(pid, 3, b, w_, grid.cover_bbox(*b, base_res))
                     else:
                         emit(pid, 0, b, w_, grid.cover_bbox(*b, base_res))
                 yield pd.DataFrame(cols).astype(
@@ -854,8 +869,56 @@ class SpatialEngine:
                     back[order] = np.arange(len(m_sb))
                     hit_all[m_sb] = hit0[back]
 
-                # ---- general probes (multi-segment lines / polygons):
-                # exact pairwise fallback — rare, each probe parses once
+                # ---- polygon-probe containment rows: tile⊂probe when no
+                # boundary crossing exists — test one point OF the tile
+                # (rect corner, or the decoded tile's first vertex)
+                # against the probe polygon, vectorized per probe group
+                m_c = np.nonzero(pkind == 3)[0]
+                if len(m_c):
+                    pid_c = pdf["probe_id"].to_numpy()[m_c]
+                    wkt_c = pdf["wkt"].to_numpy()[m_c]
+                    rid_c = pdf["region_id"].to_numpy()[m_c]
+                    wkb_c = pdf["tile_wkb"].to_numpy()[m_c]
+                    px_t = np.empty(len(m_c), dtype=np.float64)
+                    py_t = np.empty(len(m_c), dtype=np.float64)
+                    ok_t = np.ones(len(m_c), dtype=bool)
+                    for j, i in enumerate(m_c):
+                        if kind[i] != 0:
+                            px_t[j], py_t[j] = tmnx[i], tmny[i]
+                        else:
+                            key = (pdf["cell_id"].iat[i], rid_c[j],
+                                   tmnx[i:i + 1].view(np.int64)[0],
+                                   tmny[i:i + 1].view(np.int64)[0])
+                            segs = registry.get(key)
+                            if segs is None:
+                                g = wkb.loads(bytes(wkb_c[j]))
+                                segs = predicates.segments_of_rings(core.all_rings(g))
+                                registry[key] = segs
+                            if len(segs) == 0:
+                                ok_t[j] = False
+                            else:
+                                px_t[j], py_t[j] = segs[0, 0], segs[0, 1]
+                    order = np.argsort(pid_c, kind="stable")
+                    starts = np.nonzero(np.r_[True, np.diff(pid_c[order]) != 0])[0]
+                    ends = np.append(starts[1:], len(m_c))
+                    hit0 = np.zeros(len(m_c), dtype=bool)
+                    for s0, s1 in zip(starts, ends):
+                        rows_o = order[s0:s1]
+                        pid0 = pid_c[rows_o[0]]
+                        ent = probe_cache.get(("segs", pid0))
+                        if ent is None:
+                            g = probe_cache.get(pid0)
+                            if g is None:
+                                g = probe_cache[pid0] = wkt_codec.loads(wkt_c[rows_o[0]])
+                            ent = predicates.segments_of_rings(core.all_rings(g))
+                            probe_cache[("segs", pid0)] = ent
+                        sel = rows_o[ok_t[rows_o]]
+                        if len(sel) and len(ent):
+                            hit0[sel] = predicates.points_intersect_prepared(
+                                px_t[sel], py_t[sel], ent)
+                    hit_all[m_c] = hit0
+
+                # ---- unrecognized probe shapes: exact pairwise fallback
                 m_g = np.nonzero(pkind == 0)[0]
                 if len(m_g):
                     pid_g = pdf["probe_id"].to_numpy()[m_g]

@@ -66,6 +66,17 @@ class TestGeometryProbe:
         rows = province_engine.query_geometry(probes, where="deep = 0").collect()
         assert {r.name for r in rows} == {"湖北省", "河南省", "安徽省"}
 
+    def test_rotated_polygon_fully_containing_region(self, province_engine, spark):
+        """tile⊂probe containment with ZERO boundary crossings: a
+        diamond enclosing all of Hainan island — the pkind-3
+        containment rows are the only way this region can match."""
+        wkt = "POLYGON ((104 19.5, 110 26, 116 19.5, 110 13, 104 19.5))"
+        probes = spark.createDataFrame([(1, wkt)], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        names = {r.name for r in rows}
+        assert "海南省" in names
+        assert "北京市" not in names  # far outside the diamond
+
     def test_point_probe_equals_q1(self, province_engine, spark):
         probes = spark.createDataFrame(
             [(1, "POINT (114.044346 22.691963)")], "probe_id long, wkt string")
