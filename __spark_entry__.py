@@ -155,14 +155,14 @@ def _orient_sql(ax, ay, bx, by, cx, cy) -> str:
             f"((({by})-({ay}))*(({cx})-({ax}))))")
 
 
-def _seg_edge_int_sql(e1x, e1y, e2x, e2y) -> str:
-    """SQL predicate: probe segment (p.x1,p.y1)-(p.x2,p.y2) intersects
-    the edge (e1)-(e2), boundary-inclusive — the same division-free
-    orientation test as predicates._pair_seg_intersect."""
-    d1 = _orient_sql("p.x1", "p.y1", "p.x2", "p.y2", e1x, e1y)
-    d2 = _orient_sql("p.x1", "p.y1", "p.x2", "p.y2", e2x, e2y)
-    d3 = _orient_sql(e1x, e1y, e2x, e2y, "p.x1", "p.y1")
-    d4 = _orient_sql(e1x, e1y, e2x, e2y, "p.x2", "p.y2")
+def _seg_seg_int_sql(ax1, ay1, ax2, ay2, e1x, e1y, e2x, e2y) -> str:
+    """SQL predicate: segment (a1)-(a2) intersects segment (e1)-(e2),
+    boundary-inclusive — the same division-free orientation test as
+    predicates._pair_seg_intersect (exact on dyadic coordinates)."""
+    d1 = _orient_sql(ax1, ay1, ax2, ay2, e1x, e1y)
+    d2 = _orient_sql(ax1, ay1, ax2, ay2, e2x, e2y)
+    d3 = _orient_sql(e1x, e1y, e2x, e2y, ax1, ay1)
+    d4 = _orient_sql(e1x, e1y, e2x, e2y, ax2, ay2)
     proper = (f"((({d1})>0) <> (({d2})>0)) AND ((({d3})>0) <> (({d4})>0)) "
               f"AND ({d1})<>0 AND ({d2})<>0 AND ({d3})<>0 AND ({d4})<>0")
 
@@ -171,12 +171,73 @@ def _seg_edge_int_sql(e1x, e1y, e2x, e2y) -> str:
                 f" AND ({py}) BETWEEN least({sy1},{sy2}) AND greatest({sy1},{sy2}))")
 
     touch = " OR ".join([
-        on(d1, e1x, e1y, "p.x1", "p.y1", "p.x2", "p.y2"),
-        on(d2, e2x, e2y, "p.x1", "p.y1", "p.x2", "p.y2"),
-        on(d3, "p.x1", "p.y1", e1x, e1y, e2x, e2y),
-        on(d4, "p.x2", "p.y2", e1x, e1y, e2x, e2y),
+        on(d1, e1x, e1y, ax1, ay1, ax2, ay2),
+        on(d2, e2x, e2y, ax1, ay1, ax2, ay2),
+        on(d3, ax1, ay1, e1x, e1y, e2x, e2y),
+        on(d4, ax2, ay2, e1x, e1y, e2x, e2y),
     ])
     return f"((({proper})) OR {touch})"
+
+
+def _seg_edge_int_sql(e1x, e1y, e2x, e2y) -> str:
+    return _seg_seg_int_sql("p.x1", "p.y1", "p.x2", "p.y2",
+                            e1x, e1y, e2x, e2y)
+
+
+def q3_polygon_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with non-axis-aligned POLYGON probes (diamonds) — exercises
+    the full columnar polygon decomposition end to end: boundary
+    segments (orientation kernels) AND the pkind-3 containment rows
+    (diamonds large enough to swallow whole districts with zero
+    boundary crossings). The oracle reproduces the identical
+    division-free orientation arithmetic plus an exact
+    corner-in-diamond half-plane test."""
+    _register(spark, sf_dir, ("orders",))
+    eng = _engine(spark)
+    d = spark.sql(fixtures.diamond_probes_sql("orders"))
+    probes = d.select(
+        F.col("probe_id"),
+        F.concat(
+            F.lit("POLYGON (("),
+            F.col("cx") - F.col("a"), F.lit(" "), F.col("cy"), F.lit(", "),
+            F.col("cx"), F.lit(" "), F.col("cy") + F.col("b"), F.lit(", "),
+            F.col("cx") + F.col("a"), F.lit(" "), F.col("cy"), F.lit(", "),
+            F.col("cx"), F.lit(" "), F.col("cy") - F.col("b"), F.lit(", "),
+            F.col("cx") - F.col("a"), F.lit(" "), F.col("cy"), F.lit("))"),
+        ).alias("wkt"),
+    )
+    out = eng.query_geometry(probes)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
+def _diamond_region_hit_sql() -> str:
+    """Diamond probe (center p.cx,p.cy; half-diagonals p.a,p.b)
+    intersects region part r — exact arithmetic throughout."""
+    verts = [("(p.cx - p.a)", "p.cy"), ("p.cx", "(p.cy + p.b)"),
+             ("(p.cx + p.a)", "p.cy"), ("p.cx", "(p.cy - p.b)")]
+    rect_edges = [("r.x0", "r.y0", "r.x1", "r.y0"),
+                  ("r.x1", "r.y0", "r.x1", "r.y1"),
+                  ("r.x1", "r.y1", "r.x0", "r.y1"),
+                  ("r.x0", "r.y1", "r.x0", "r.y0")]
+    cross = " OR ".join(
+        _seg_seg_int_sql(verts[i][0], verts[i][1],
+                         verts[(i + 1) % 4][0], verts[(i + 1) % 4][1],
+                         *e)
+        for i in range(4) for e in rect_edges)
+    vert_in_rect = " OR ".join(
+        f"({vx} BETWEEN r.x0 AND r.x1 AND {vy} BETWEEN r.y0 AND r.y1)"
+        for vx, vy in verts)
+    corner_in_diamond = ("p.b * abs(r.x0 - p.cx) + p.a * abs(r.y0 - p.cy)"
+                         " <= p.a * p.b")
+    swallow_v = " AND ".join(
+        f"{vx} > r.hx0 AND {vx} < r.hx1 AND {vy} > r.hy0 AND {vy} < r.hy1"
+        for vx, vy in verts)
+    return (f"(({cross}) OR ({vert_in_rect}) OR ({corner_in_diamond}))"
+            f" AND NOT (r.hx0 IS NOT NULL AND {swallow_v})")
 
 
 def _line_region_hit_sql() -> str:
@@ -771,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_knn3_per_level": q2_knn3_per_level,
         "q3_rect_probe_join": q3_rect_probe_join,
         "q3_line_probe_join": q3_line_probe_join,
+        "q3_polygon_probe_join": q3_polygon_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
@@ -870,6 +932,13 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN {regions}
               ON {_line_region_hit_sql()}
+        """,
+        "q3_polygon_probe_join": f"""
+            WITH probes AS ({fixtures.diamond_probes_sql("orders")})
+            SELECT DISTINCT p.probe_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+            FROM probes p
+            JOIN {regions}
+              ON {_diamond_region_hit_sql()}
         """,
         "q4_attribute_scan": f"""
             SELECT DISTINCT code AS region_code, CAST(deep AS BIGINT) AS deep,

@@ -145,6 +145,21 @@ def line_probes_sql(orders: str = "orders") -> str:
     )
 
 
+def diamond_probes_sql(orders: str = "orders") -> str:
+    """Deterministic diamond (rotated-square) polygon probes — the
+    non-axis-aligned Q3 case; half-diagonals 2..8° so some diamonds
+    fully CONTAIN whole districts (the containment path no segment
+    test can see). All parameters dyadic."""
+    return (
+        f"SELECT o_orderkey AS probe_id, "
+        f"CAST(o_orderkey * 13 % 2048 AS DOUBLE) / 64 AS cx, "
+        f"CAST(o_orderkey * 19 % 2048 AS DOUBLE) / 64 AS cy, "
+        f"2 + CAST(o_orderkey % 384 AS DOUBLE) / 64 AS a, "
+        f"2 + CAST(o_orderkey * 3 % 384 AS DOUBLE) / 64 AS b "
+        f"FROM {orders} WHERE o_orderkey % 61 = 0"
+    )
+
+
 def rect_probes_sql(orders: str = "orders") -> str:
     """Deterministic rectangle probes from orders (Q3 analog)."""
     return (
