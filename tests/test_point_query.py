@@ -123,3 +123,18 @@ class TestTileGolden:
                                    "golden_tile_stats.json")
         want = json.load(open(golden_path))
         assert got == want
+
+
+class TestCoordinateRobustness:
+    def test_nan_and_null_coordinates_are_dropped(self, spark, province_engine):
+        """Docs tables at corpus scale contain broken geo spans; NaN or
+        NULL coordinates must not crash the join — the cell expression
+        yields a null key, which the equi-join drops."""
+        pts = spark.createDataFrame(
+            [(1, 116.4, 39.9),
+             (2, float("nan"), 30.0),
+             (3, None, 30.0),
+             (4, 114.0, None)],
+            "point_id long, lng double, lat double")
+        rows = province_engine.query_points(pts, with_props=False).collect()
+        assert {r.point_id for r in rows} == {1}

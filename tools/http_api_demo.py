@@ -23,7 +23,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
-ENGINES = {}
+from areacity_query_geometry_spark import registry as ENGINES_REG
+
+
+class _Reg:
+    def __contains__(self, k):
+        return k in ENGINES_REG.instances()
+
+    def __getitem__(self, k):
+        return ENGINES_REG.get(k)
+
+    def __setitem__(self, k, v):
+        ENGINES_REG.register(k, v)
+
+
+ENGINES = _Reg()
 
 
 def envelope(c: int, v, m: str = "") -> bytes:
@@ -110,7 +124,10 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     ENGINES["0"] = SpatialEngine.from_geojson(spark, path, base_res=11)
-    print(f"serving instance 0 ({path}) on :{port}")
+    continents = ("/root/reference/"
+                  "仅供测试-世界七大洲GeoJSON数据-大幅简化粗略版.json")
+    ENGINES["1"] = SpatialEngine.from_geojson(spark, continents, base_res=7)
+    print(f"serving instance 0 ({path}) + 1 (continents) on :{port}")
     ThreadingHTTPServer(("127.0.0.1", port), Handler).serve_forever()
 
 
