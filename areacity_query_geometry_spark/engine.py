@@ -354,23 +354,58 @@ class SpatialEngine:
         refined = boundary.mapInPandas(_make_refine_fn(id_cols), refine_schema)
         return interior.unionByName(refined)
 
-    def _with_props(self, matches: DataFrame) -> DataFrame:
+    def _with_props(self, matches: DataFrame,
+                    return_wkt_key: str | None = None) -> DataFrame:
         cols = ["region_id", "id", "pid", "deep", "name", "ext_path", "prop_json"]
-        return matches.join(F.broadcast(self.boundaries.select(*cols)), "region_id")
+        if not return_wkt_key:
+            return matches.join(F.broadcast(self.boundaries.select(*cols)), "region_id")
+        # full-WKT echo (≙ res.Set_ReturnWKTKey,
+        # /root/reference/AreaCityQuery.java:277-289): append the
+        # feature's FULL geometry WKT into the prop JSON under the
+        # caller's key — same string surgery as the reference
+        joined = matches.join(
+            F.broadcast(self.boundaries.select(*cols, "geom_wkb")), "region_id")
+        out_schema = StructType(
+            [f for f in joined.schema.fields if f.name != "geom_wkb"])
+        key = str(return_wkt_key)
+
+        def echo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wkt_cache: dict[bytes, str] = {}
+            for pdf in it:
+                props = []
+                for p, b in zip(pdf["prop_json"], pdf["geom_wkb"]):
+                    if b is None:
+                        w = "EMPTY"
+                    else:
+                        bb = bytes(b)
+                        w = wkt_cache.get(bb)
+                        if w is None:
+                            w = wkt_cache[bb] = wkt_codec.dumps(wkb.loads(bb))
+                    props.append(f'{p[:-1]}, "{key}": "{w}"}}')
+                out = pdf.drop(columns=["geom_wkb"])
+                out["prop_json"] = props
+                yield out
+
+        return joined.mapInPandas(echo, out_schema)
 
     # ---------------------------------------------------------- Q1
 
     def query_points(self, points: DataFrame, where: str | None = None,
                      with_props: bool = True, lng="lng", lat="lat",
-                     id_cols: tuple[str, ...] = ("point_id",)) -> DataFrame:
+                     id_cols: tuple[str, ...] = ("point_id",),
+                     return_wkt_key: str | None = None) -> DataFrame:
         """Q1 — point∩polygon join (≙ QueryPoint, AreaCityQuery.java:87-90).
 
         points: DataFrame with (*id_cols, lng double, lat double).
         Returns one row per (point, matching region); edge-touch matches
         both neighbours, hole interiors match none (AreaCityQuery.java:69-85).
+        return_wkt_key: when set, each result's prop_json gains
+        `"<key>": "<full feature WKT>"` (≙ Set_ReturnWKTKey).
         """
         m = self._match_points(points, where, lng, lat, id_cols)
-        return self._with_props(m) if with_props else m
+        if not with_props:
+            return m
+        return self._with_props(m, return_wkt_key=return_wkt_key)
 
     def query_points_with_metrics(self, points: DataFrame,
                                   where: str | None = None,
@@ -671,7 +706,8 @@ class SpatialEngine:
     # ---------------------------------------------------------- Q3
 
     def query_geometry(self, probes: DataFrame, where: str | None = None,
-                       with_props: bool = True) -> DataFrame:
+                       with_props: bool = True,
+                       return_wkt_key: str | None = None) -> DataFrame:
         """Q3 — geometry-intersects join (≙ QueryGeometry,
         /root/reference/AreaCityQuery.java:179-309). `probes` has
         (probe_id long, wkt string); any POINT/LINESTRING/POLYGON/
@@ -955,8 +991,7 @@ class SpatialEngine:
         ).mapInPandas(refine_fn, refine_schema).dropDuplicates(["probe_id", "region_id"])
         if not with_props:
             return matches
-        cols = ["region_id", "id", "pid", "deep", "name", "ext_path", "prop_json"]
-        return matches.join(F.broadcast(self.boundaries.select(*cols)), "region_id")
+        return self._with_props(matches, return_wkt_key=return_wkt_key)
 
     # ---------------------------------------------------------- Q4
 

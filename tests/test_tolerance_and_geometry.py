@@ -132,3 +132,30 @@ class TestTileDebug:
                 hit = True
                 break
         assert hit
+
+
+class TestReturnWktEcho:
+    def test_prop_json_gains_full_wkt(self, province_engine, spark):
+        """Set_ReturnWKTKey parity (AreaCityQuery.java:277-289): matched
+        props gain the FULL feature geometry WKT under the caller's key,
+        and it round-trips through the WKT codec."""
+        import json
+
+        from areacity_query_geometry_spark.geom import core, wkt as wkt_codec
+
+        pts = spark.createDataFrame(
+            [(0, 114.044346, 22.691963)], "point_id long, lng double, lat double")
+        rows = province_engine.query_points(
+            pts, return_wkt_key="polygon_wkt").collect()
+        assert rows
+        for r in rows:
+            prop = json.loads(r.prop_json)
+            assert prop["name"] == "广东省"
+            g = wkt_codec.loads(prop["polygon_wkt"])
+            assert not core.is_empty(g)
+            # the echoed geometry must actually contain the probe
+            from areacity_query_geometry_spark.geom import predicates
+            import numpy as np
+            assert predicates.points_intersect_rings(
+                np.array([114.044346]), np.array([22.691963]),
+                core.all_rings(g))[0]
