@@ -66,6 +66,7 @@ class Handler(BaseHTTPRequestHandler):
             eng = ENGINES[route[0]]
             verb = route[1].lower()
             where = qs.get("where", [None])[0]
+            wkt_key = qs.get("returnWKTKey", [None])[0]
             if verb == "querypoint":
                 lng = float(qs["lng"][0])
                 lat = float(qs["lat"][0])
@@ -76,7 +77,8 @@ class Handler(BaseHTTPRequestHandler):
                     df = eng.query_points_with_tolerance(pts, tol, where=where)
                     rows = [r.prop_json_out for r in df.collect()]
                 else:
-                    df = eng.query_points(pts, where=where)
+                    df = eng.query_points(pts, where=where,
+                                          return_wkt_key=wkt_key)
                     rows = [r.prop_json for r in df.collect()]
             elif verb == "querygeometry":
                 wkt_in = qs["wkt"][0]
@@ -91,7 +93,8 @@ class Handler(BaseHTTPRequestHandler):
                     return
                 probes = eng.spark.createDataFrame(
                     [(0, wkt_in)], "probe_id long, wkt string")
-                rows = [r.prop_json for r in eng.query_geometry(probes, where=where).collect()]
+                rows = [r.prop_json for r in eng.query_geometry(
+                    probes, where=where, return_wkt_key=wkt_key).collect()]
             elif verb == "readwkt":
                 rows = [
                     {"prop": r.prop_json, "wkt": r.wkt}
