@@ -67,6 +67,19 @@ class Handler(BaseHTTPRequestHandler):
             verb = route[1].lower()
             where = qs.get("where", [None])[0]
             wkt_key = qs.get("returnWKTKey", [None])[0]
+            if where is None:
+                # reference-style param filters (Test_HttpApiServer.java:184-219)
+                from areacity_query_geometry_spark.functions import filters
+                preds = []
+                if "id" in qs:
+                    preds.append(filters.id_where(qs["id"][0]))
+                if "pid" in qs:
+                    preds.append(filters.id_where(qs["pid"][0], col="pid"))
+                if "deep" in qs:
+                    preds.append(filters.deep_where(int(qs["deep"][0])))
+                if "extPath" in qs:
+                    preds.append(filters.ext_path_where(qs["extPath"][0]))
+                where = " AND ".join(preds) if preds else None
             if verb == "querypoint":
                 lng = float(qs["lng"][0])
                 lat = float(qs["lat"][0])
