@@ -281,6 +281,28 @@ class SpatialEngine:
         return cls(spark, boundaries, tiles, base_res,
                    broadcast_tiles=n_tiles < 3_000_000)
 
+    def create_views(self, prefix: str = "aqg") -> tuple[str, str]:
+        """Register the boundary/tile tables as temp views so the whole
+        engine is reachable from pure `spark.sql(...)`: an interior-hit
+        point lookup is then one SQL join —
+
+            SELECT p.point_id, t.region_id
+            FROM probes p JOIN {prefix}_tiles t
+              ON t.cell_id = <grid.cell_id_sql_expr('p.lng','p.lat',res)>
+             AND t.kind = 1
+
+        (boundary-cell refinement still needs the Arrow kernel — SQL
+        covers the ~97% interior fast path). Returns the view names."""
+        b, t = f"{prefix}_boundaries", f"{prefix}_tiles"
+        self.boundaries.createOrReplaceTempView(b)
+        self.tiles.createOrReplaceTempView(t)
+        return b, t
+
+    def cell_expr(self, lng_col: str = "lng", lat_col: str = "lat") -> str:
+        """The engine's point→cell SQL expression (codegen'd JVM-side),
+        for use inside user `spark.sql` queries against the views."""
+        return grid.cell_id_sql_expr(lng_col, lat_col, self.base_res)
+
     # ------------------------------------------------- shared join spine
 
     def _probe_cells(self, points: DataFrame, lng="lng", lat="lat") -> DataFrame:

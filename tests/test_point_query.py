@@ -138,3 +138,30 @@ class TestCoordinateRobustness:
             "point_id long, lng double, lat double")
         rows = province_engine.query_points(pts, with_props=False).collect()
         assert {r.point_id for r in rows} == {1}
+
+
+class TestSqlViews:
+    def test_pure_sql_interior_lookup(self, spark, province_engine):
+        """create_views + cell_expr: the interior fast path is reachable
+        from pure spark.sql, and agrees with the engine's interior
+        branch on interior-cell probes."""
+        b, t = province_engine.create_views("aqgtest")
+        spark.range(200).selectExpr(
+            "id AS point_id",
+            "73.0 + (id * 37 % 62000) / 1000.0 AS lng",
+            "18.0 + (id * 101 % 36000) / 1000.0 AS lat",
+        ).createOrReplaceTempView("aqgtest_probes")
+        sql_hits = spark.sql(f"""
+            SELECT p.point_id, t.region_id
+            FROM aqgtest_probes p
+            JOIN {t} t ON t.cell_id = {province_engine.cell_expr('p.lng', 'p.lat')}
+             AND t.kind = 1
+        """).collect()
+        got = sorted((r.point_id, r.region_id) for r in sql_hits)
+        # reference: the engine's full answer restricted to interior hits
+        pts = spark.table("aqgtest_probes")
+        full = province_engine.query_points(pts, with_props=False)
+        df, obs = province_engine.query_points_with_metrics(pts)
+        all_rows = sorted((r.point_id, r.region_id) for r in df.collect())
+        assert set(got) <= set(all_rows)
+        assert obs["interior"].get["rows"] == len(got)
