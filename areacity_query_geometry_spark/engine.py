@@ -321,13 +321,18 @@ class SpatialEngine:
 
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",
-                      id_cols: tuple[str, ...] = ("point_id",)) -> DataFrame:
+                      id_cols: tuple[str, ...] = ("point_id",),
+                      observers: tuple | None = None) -> DataFrame:
         """Core spatial join: (*id_cols, lng, lat) → (*id_cols, region_id).
 
         kind=1 (whole-cell interior) hits never leave the JVM; kind 0/2
         rows cross into the Arrow refine. A point hits at most one tile
         tree per region by construction, and same-key sub-tiles are
         deduped inside the refine group, so no dedup shuffle is needed.
+
+        observers: optional (interior_obs, refined_obs) Observation pair
+        — attaches row-count metrics to each branch (the QueryResult
+        counter analog, AreaCityQuery.java:1611-1657).
         """
         probe = self._probe_cells(points, lng, lat)
         if not self.broadcast_tiles and self.salt_buckets > 1:
@@ -374,6 +379,10 @@ class SpatialEngine:
             [points.schema[c] for c in id_cols] + [StructField("region_id", LongType())]
         )
         refined = boundary.mapInPandas(_make_refine_fn(id_cols), refine_schema)
+        if observers is not None:
+            obs_i, obs_r = observers
+            interior = interior.observe(obs_i, F.count(F.lit(1)).alias("rows"))
+            refined = refined.observe(obs_r, F.count(F.lit(1)).alias("rows"))
         return interior.unionByName(refined)
 
     def _with_props(self, matches: DataFrame,
@@ -439,26 +448,10 @@ class SpatialEngine:
         the no-exact-test fast path, refined ≙ ExactHitCount."""
         from pyspark.sql import Observation
 
-        probe = self._probe_cells(points, lng, lat)
-        tiles_all = self._tiles_for(where)
         obs_i, obs_r = Observation(), Observation()
-        interior = probe.join(
-            tiles_all.filter(F.col("kind") == 1), "cell_id"
-        ).select("point_id", "region_id").observe(
-            obs_i, F.count(F.lit(1)).alias("rows"))
-        tiles_b = tiles_all.filter(F.col("kind") != 1)
-        bpts = probe.join(
-            F.broadcast(tiles_b.select("cell_id").distinct()), "cell_id", "left_semi")
-        brows = bpts.join(tiles_b, "cell_id").select(
-            "point_id", F.col(lng).alias("lng"), F.col(lat).alias("lat"),
-            "cell_id", "region_id", "kind", "minx", "miny", "maxx", "maxy",
-            "tile_wkb")
-        refine_schema = StructType([
-            points.schema["point_id"], StructField("region_id", LongType())])
-        refined = brows.mapInPandas(
-            _make_refine_fn(("point_id",)), refine_schema
-        ).observe(obs_r, F.count(F.lit(1)).alias("rows"))
-        return interior.unionByName(refined), {"interior": obs_i, "refined": obs_r}
+        out = self._match_points(points, where, lng, lat,
+                                 observers=(obs_i, obs_r))
+        return out, {"interior": obs_i, "refined": obs_r}
 
     # ---------------------------------------------------------- Q2
 
