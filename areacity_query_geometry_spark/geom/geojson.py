@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import re
 
-import numpy as np
 
 from . import core
 
