@@ -165,3 +165,66 @@ class TestSqlViews:
         all_rows = sorted((r.point_id, r.region_id) for r in df.collect())
         assert set(got) <= set(all_rows)
         assert obs["interior"].get["rows"] == len(got)
+
+
+class TestRandomWorldProperty:
+    @pytest.mark.parametrize("seed", [3, 17, 41])
+    def test_engine_matches_direct_pip_on_random_world(self, spark, seed):
+        """Property: on a RANDOM polygon world (dyadic coordinates,
+        random rect regions, one with a hole), the full engine pipeline
+        (tiler → cell join → Arrow refine) agrees with direct numpy
+        point-in-polygon on every probe — including probes snapped onto
+        region borders (edge-touch duality)."""
+        import numpy as np
+
+        from areacity_query_geometry_spark import tiler
+        from areacity_query_geometry_spark.engine import SpatialEngine
+        from areacity_query_geometry_spark.geom import core, predicates, wkb
+        from areacity_query_geometry_spark.sources.geojson_source import BOUNDARY_SCHEMA
+
+        rng = np.random.default_rng(seed)
+        snap = lambda a: np.round(np.asarray(a) * 64) / 64  # dyadic
+
+        regions = []
+        for i in range(12):
+            x0, y0 = snap(rng.uniform(0, 30, 2))
+            w, h = snap(rng.uniform(1, 12, 2))
+            shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
+            rings = [core.ensure_closed(np.asarray(shell, dtype=np.float64))]
+            if i == 0 and w > 2 and h > 2:  # carve a hole
+                hx0, hy0 = x0 + w / 4, y0 + h / 4
+                hx1, hy1 = x0 + w / 2, y0 + h / 2
+                rings.append(core.ensure_closed(np.asarray(
+                    [(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1), (hx0, hy0)],
+                    dtype=np.float64)))
+            geom = {"type": "Polygon", "rings": rings}
+            prop = f'{{"id":"{i}","deep":"0"}}'
+            regions.append((i, str(i), "0", 0, f"R{i}", f"R{i}", "", prop,
+                            wkb.dumps(geom)))
+
+        boundaries = spark.createDataFrame(regions, BOUNDARY_SCHEMA)
+        tiles = tiler.build_tiles(boundaries, base_res=6, max_res=8)
+        eng = SpatialEngine(spark, boundaries, tiles, base_res=6)
+
+        n = 300
+        px = snap(rng.uniform(-1, 45, n))
+        py = snap(rng.uniform(-1, 45, n))
+        # force some probes EXACTLY onto region borders
+        for j in range(0, n, 7):
+            ridx = int(rng.integers(0, len(regions)))
+            g = wkb.loads(regions[ridx][8])
+            ring = g["rings"][0]
+            px[j], py[j] = ring[0][0], ring[j % (len(ring) - 1)][1]
+
+        pts = spark.createDataFrame(
+            [(int(j), float(px[j]), float(py[j])) for j in range(n)],
+            "point_id long, lng double, lat double")
+        got = sorted((r.point_id, r.region_id)
+                     for r in eng.query_points(pts, with_props=False).collect())
+
+        want = []
+        for rid, *_rest in regions:
+            g = wkb.loads(regions[rid][8])
+            hit = predicates.points_intersect_rings(px, py, core.all_rings(g))
+            want.extend((int(j), rid) for j in np.nonzero(hit)[0])
+        assert got == sorted(want)

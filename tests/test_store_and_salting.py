@@ -99,3 +99,25 @@ class TestSaltedJoin:
         )
         pts = _pts(spark, 800)
         assert _hits(smj, pts) == _hits(province_engine, pts)
+
+
+class TestShuffleGeometryProbe:
+    def test_query_geometry_shuffle_equals_broadcast(self, spark, province_engine):
+        """Q3 through the non-broadcast (sort-merge) tile path must give
+        the identical hit-set as the broadcast path."""
+        smj = SpatialEngine(
+            spark, province_engine.boundaries, province_engine.tiles,
+            base_res=province_engine.base_res, broadcast_tiles=False,
+        )
+        probes = spark.createDataFrame(
+            [(1, "POLYGON ((113.305514 30.564249, 113.305514 32.881526, "
+                 "117.32651 32.881526, 117.32651 30.564249, 113.305514 30.564249))"),
+             (2, "LINESTRING (114.3 30.6, 116.4 39.9)"),
+             (3, "POLYGON ((104 19.5, 110 26, 116 19.5, 110 13, 104 19.5))"),
+             (4, "POINT (114.044346 22.691963)")],
+            "probe_id long, wkt string")
+        want = sorted((r.probe_id, r.region_id) for r in
+                      province_engine.query_geometry(probes, with_props=False).collect())
+        got = sorted((r.probe_id, r.region_id) for r in
+                     smj.query_geometry(probes, with_props=False).collect())
+        assert got == want
