@@ -228,3 +228,61 @@ class TestRandomWorldProperty:
             hit = predicates.points_intersect_rings(px, py, core.all_rings(g))
             want.extend((int(j), rid) for j in np.nonzero(hit)[0])
         assert got == sorted(want)
+
+
+class TestRandomSlopedWorld:
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_engine_matches_direct_pip_on_sloped_polygons(self, spark, seed):
+        """Property: random TRIANGLE regions (sloped edges — the tiler
+        must clip non-axis-aligned rings correctly) — engine ≡ direct
+        numpy PIP. Probes within 1e-7° of any edge are excluded: the
+        clip stage interpolates vertices ON the edges, so razor-edge
+        parity is defined only up to fp interpolation there."""
+        import numpy as np
+
+        from areacity_query_geometry_spark import tiler
+        from areacity_query_geometry_spark.engine import SpatialEngine
+        from areacity_query_geometry_spark.geom import core, predicates, wkb
+        from areacity_query_geometry_spark.sources.geojson_source import BOUNDARY_SCHEMA
+
+        rng = np.random.default_rng(seed)
+        regions = []
+        for i in range(10):
+            cx, cy = rng.uniform(5, 35, 2)
+            ang = rng.uniform(0, 2 * np.pi, 3) + np.array([0, 2.2, 4.4])
+            rad = rng.uniform(2, 8, 3)
+            tri = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+            ring = core.ensure_closed(tri)
+            geom = {"type": "Polygon", "rings": [ring]}
+            regions.append((i, str(i), "0", 0, f"T{i}", f"T{i}", "",
+                            f'{{"id":"{i}"}}', wkb.dumps(geom)))
+
+        boundaries = spark.createDataFrame(regions, BOUNDARY_SCHEMA)
+        tiles = tiler.build_tiles(boundaries, base_res=6, max_res=8)
+        eng = SpatialEngine(spark, boundaries, tiles, base_res=6)
+
+        n = 400
+        px = rng.uniform(0, 40, n)
+        py = rng.uniform(0, 40, n)
+        # drop probes razor-close to any edge
+        keep = np.ones(n, dtype=bool)
+        for rid, *_r in regions:
+            g = wkb.loads(regions[rid][8])
+            segs = predicates.segments_of_rings(core.all_rings(g))
+            _, _, d = predicates.nearest_on_segments(px, py, segs)
+            keep &= d > 1e-7
+        px, py = px[keep], py[keep]
+        n = len(px)
+        assert n > 300  # sanity: the filter removes almost nothing
+
+        pts = spark.createDataFrame(
+            [(int(j), float(px[j]), float(py[j])) for j in range(n)],
+            "point_id long, lng double, lat double")
+        got = sorted((r.point_id, r.region_id)
+                     for r in eng.query_points(pts, with_props=False).collect())
+        want = []
+        for rid, *_rest in regions:
+            g = wkb.loads(regions[rid][8])
+            hit = predicates.points_intersect_rings(px, py, core.all_rings(g))
+            want.extend((int(j), rid) for j in np.nonzero(hit)[0])
+        assert got == sorted(want)
