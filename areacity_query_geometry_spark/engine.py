@@ -804,7 +804,18 @@ class SpatialEngine:
                     {"probe_id": "int64", "cell_id": "int64", "pkind": "int64"})
 
         cover = probes.select("probe_id", "wkt").mapInPandas(cover_fn, cover_schema)
-        joined = cover.join(self._tiles_for(where), "cell_id")
+        tiles_all = self._tiles_for(where)
+        # containment rows need ONE tile per (cell, region) — any tile's
+        # vertex decides region⊂probe — so dedup the tile side for them
+        # (cuts the WKT-carrying fan-out by the subtile multiplicity)
+        tiles_cr = tiles_all.dropDuplicates(["cell_id", "region_id"])
+        if self.broadcast_tiles:
+            tiles_cr = F.broadcast(tiles_cr)
+        joined = (
+            cover.filter(F.col("pkind") != 3).join(tiles_all, "cell_id")
+            .unionByName(
+                cover.filter(F.col("pkind") == 3).join(tiles_cr, "cell_id"))
+        )
 
         refine_schema = StructType([
             StructField("probe_id", LongType()),
