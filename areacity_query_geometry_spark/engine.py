@@ -312,12 +312,12 @@ class SpatialEngine:
             "cell_id", F.expr(grid.cell_id_sql_expr(lng, lat, self.base_res))
         )
 
-    def _tiles_for(self, where: str | None) -> DataFrame:
+    def _tiles_for(self, where: str | None, hint: bool = True) -> DataFrame:
         t = self.tiles
         if where:
             keep = self.boundaries.filter(where).select("region_id")
             t = t.join(F.broadcast(keep), "region_id", "left_semi")
-        return F.broadcast(t) if self.broadcast_tiles else t
+        return F.broadcast(t) if (hint and self.broadcast_tiles) else t
 
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",
@@ -804,18 +804,26 @@ class SpatialEngine:
                     {"probe_id": "int64", "cell_id": "int64", "pkind": "int64"})
 
         cover = probes.select("probe_id", "wkt").mapInPandas(cover_fn, cover_schema)
-        tiles_all = self._tiles_for(where)
         # containment rows need ONE tile per (cell, region) — any tile's
-        # vertex decides region⊂probe — so dedup the tile side for them
-        # (cuts the WKT-carrying fan-out by the subtile multiplicity)
-        tiles_cr = tiles_all.dropDuplicates(["cell_id", "region_id"])
-        if self.broadcast_tiles:
-            tiles_cr = F.broadcast(tiles_cr)
-        joined = (
-            cover.filter(F.col("pkind") != 3).join(tiles_all, "cell_id")
-            .unionByName(
-                cover.filter(F.col("pkind") == 3).join(tiles_cr, "cell_id"))
+        # vertex decides region⊂probe — so they join a deduped tile side
+        # (cuts the WKT-carrying fan-out by the subtile multiplicity).
+        # Both tile sides union into ONE join (flag `cr` as a join
+        # filter) so the cover UDF evaluates once, not per branch.
+        t_base = self._tiles_for(where, hint=False)
+        tiles_u = (
+            t_base.withColumn("cr", F.lit(0))
+            .unionByName(t_base.dropDuplicates(["cell_id", "region_id"])
+                         .withColumn("cr", F.lit(1)))
+            .withColumnRenamed("cell_id", "tcell")
         )
+        if self.broadcast_tiles:
+            tiles_u = F.broadcast(tiles_u)
+        joined = cover.join(
+            tiles_u,
+            (F.col("cell_id") == F.col("tcell"))
+            & (((F.col("pkind") != 3) & (F.col("cr") == 0))
+               | ((F.col("pkind") == 3) & (F.col("cr") == 1))),
+        ).drop("tcell", "cr")
 
         refine_schema = StructType([
             StructField("probe_id", LongType()),
