@@ -24,6 +24,7 @@ vectorized Arrow refine.
 """
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,7 +34,7 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
 
-from . import grid, tiler
+from . import GRID_VERSION, grid, tiler
 from .geom import core, distance, predicates, wkb, wkt as wkt_codec
 from .sources import geojson_source
 
@@ -255,6 +256,9 @@ class SpatialEngine:
         self.broadcast_tiles = broadcast_tiles
         self.salt_buckets = salt_buckets
         self.probe_salt = max(1, probe_salt)
+        # QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604):
+        # build-phase metadata, populated by from_geojson / tile_store.load
+        self._init_meta: dict = {}
 
     # ------------------------------------------------------------ build
 
@@ -267,19 +271,42 @@ class SpatialEngine:
         max_res: int | None = None,
         seg_budget: int = 48,
         cache: bool = True,
+        init_where: str | None = None,
     ) -> "SpatialEngine":
+        """init_where: SQL predicate over the parsed boundary columns
+        evaluated BEFORE tiling — the declarative analog of the
+        reference's OnInitProgress row-skip callback
+        (/root/reference/AreaCityQuery.java:600, 858-863: return false →
+        the feature is skipped at init and never indexed)."""
+        t0 = time.time()
         boundaries = geojson_source.read_boundaries(spark, path)
+        if init_where:
+            boundaries = boundaries.filter(init_where)
         tiles = tiler.build_tiles(boundaries, base_res, max_res, seg_budget)
+        t_read = None
         if cache:
             # localCheckpoint materializes AND truncates lineage, which keeps
             # the tile table usable in stream-static joins (the raw plan
             # contains build-time-only expressions the streaming analyzer
             # rejects, e.g. the line-ordinal window)
             boundaries = boundaries.localCheckpoint(eager=True)
+            t_read = time.time() - t0
             tiles = tiles.localCheckpoint(eager=True)
         n_tiles = tiles.count()
-        return cls(spark, boundaries, tiles, base_res,
-                   broadcast_tiles=n_tiles < 3_000_000)
+        eng = cls(spark, boundaries, tiles, base_res,
+                  broadcast_tiles=n_tiles < 3_000_000)
+        eng._init_meta = {
+            "file_path_data": path,
+            "data_from_store": False,
+            "init_where": init_where,
+            "base_res": base_res,
+            "max_res": max_res,
+            "seg_budget": seg_budget,
+            "polygon_count": n_tiles,
+            "duration_read_s": round(t_read, 3) if t_read is not None else None,
+            "duration_total_s": round(time.time() - t0, 3),
+        }
+        return eng
 
     def create_views(self, prefix: str = "aqg") -> tuple[str, str]:
         """Register the boundary/tile tables as temp views so the whole
@@ -452,6 +479,145 @@ class SpatialEngine:
         out = self._match_points(points, where, lng, lat,
                                  observers=(obs_i, obs_r))
         return out, {"interior": obs_i, "refined": obs_r}
+
+    # --------------------------------------------------------- init info
+
+    def init_info(self, with_tile_stats: bool = True) -> dict:
+        """QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604,
+        exposed via GetInitInfo :604): build-phase counts + durations.
+        GeometryCount ≙ features with non-empty geometry; PolygonCount ≙
+        grid-split piece count (our tile count); UseThreadCount ≙ the
+        cluster's default parallelism (the reference capped init at 5
+        threads, :551-552 — Spark's width is the cap here)."""
+        info = dict(self._init_meta)
+        info.setdefault("base_res", self.base_res)
+        info["engine_version"] = GRID_VERSION
+        info["use_thread_count"] = self.spark.sparkContext.defaultParallelism
+        info["feature_count"] = self.boundaries.count()
+        info["geometry_count"] = self.boundaries.filter(
+            F.col("geom_wkb").isNotNull()).count()
+        if with_tile_stats:
+            rows = self.tiles.groupBy("kind").count().collect()
+            by_kind = {int(r["kind"]): int(r["count"]) for r in rows}
+            info["polygon_count"] = sum(by_kind.values())
+            info["interior_tiles"] = by_kind.get(1, 0) + by_kind.get(2, 0)
+            info["boundary_tiles"] = by_kind.get(0, 0)
+        return info
+
+    def format_init_info(self) -> str:
+        """Human-readable init summary (≙ QueryInitInfo.toString,
+        AreaCityQuery.java:1573-1603)."""
+        i = self.init_info()
+        lines = [
+            f"[v{i['engine_version']}]"
+            + ("store+" if i.get("data_from_store") else "")
+            + f"read Geometry {i['geometry_count']} "
+            + f"(grid-split tiles {i['polygon_count']}: "
+            + f"{i['interior_tiles']} interior / {i['boundary_tiles']} boundary)",
+            f"base_res: {i['base_res']}, threads: {i['use_thread_count']}",
+        ]
+        if i.get("duration_total_s") is not None:
+            lines.append(f"init total: {i['duration_total_s']}s"
+                         + (f" (read+parse: {i['duration_read_s']}s)"
+                            if i.get("duration_read_s") is not None else ""))
+        if i.get("file_path_data"):
+            lines.append(f"data file: {i['file_path_data']}")
+        if i.get("store_path"):
+            lines.append(f"tile store: {i['store_path']}")
+        return "\n".join(lines)
+
+    # ------------------------------------------------ envelope-hit debug
+
+    def _envelope_hit_props(self, cand: DataFrame,
+                            id_cols: tuple[str, ...]) -> DataFrame:
+        """Shared tail of the Set_EnvelopeHitResult analog
+        (/root/reference/AreaCityQuery.java:300-304): per candidate tile
+        of the coarse (cell-join) stage, emit the owning feature's prop
+        with `"_PolygonPointNum_": <n>` prepended — n is the candidate
+        sub-geometry's vertex count (getNumPoints; interior tiles are
+        rects ⇒ 5, matching the reference's 4-point-rectangle pieces)."""
+        id_list = list(id_cols)
+        schema = StructType(
+            [cand.schema[c] for c in id_list]
+            + [StructField("region_id", LongType()),
+               StructField("n_points", LongType())]
+        )
+
+        def npts_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[bytes, int] = {}
+            for pdf in it:
+                kind = pdf["kind"].to_numpy()
+                n = np.full(len(pdf), 5, dtype=np.int64)
+                for i in np.nonzero(kind == 0)[0]:
+                    b = bytes(pdf["tile_wkb"].iat[i])
+                    v = cache.get(b)
+                    if v is None:
+                        g = wkb.loads(b)
+                        v = cache[b] = sum(len(r) for r in core.all_rings(g))
+                    n[i] = v
+                out = pdf[id_list + ["region_id"]].copy()
+                out["region_id"] = out["region_id"].astype("int64")
+                out["n_points"] = n
+                yield out
+
+        counted = cand.select(*id_list, "region_id", "kind", "tile_wkb") \
+                      .mapInPandas(npts_fn, schema)
+        # exact reference string surgery: '{"_PolygonPointNum_": N,' + prop[1:]
+        return counted.join(
+            F.broadcast(self.boundaries.select("region_id", "prop_json")),
+            "region_id",
+        ).withColumn(
+            "prop_json",
+            F.concat(F.lit('{"_PolygonPointNum_": '),
+                     F.col("n_points").cast("string"), F.lit(","),
+                     F.expr("substring(prop_json, 2)")),
+        )
+
+    def query_points_envelope_hits(
+        self, points: DataFrame, where: str | None = None,
+        lng="lng", lat="lat", id_cols: tuple[str, ...] = ("point_id",),
+    ) -> DataFrame:
+        """Debug: the coarse-stage candidate set for point probes BEFORE
+        exact refine (≙ res.Set_EnvelopeHitResult,
+        AreaCityQuery.java:300-304, 1653-1654) — one row per candidate
+        tile with `_PolygonPointNum_`-prefixed prop. Our coarse stage is
+        the cell equi-join, so candidates are tiles sharing the probe's
+        cell (a slight superset of the reference's envelope test: the
+        cell rect contains the tile envelope)."""
+        probe = self._probe_cells(points, lng, lat)
+        cand = probe.join(self._tiles_for(where), "cell_id")
+        return self._envelope_hit_props(cand, id_cols)
+
+    def query_geometry_envelope_hits(self, probes: DataFrame,
+                                     where: str | None = None) -> DataFrame:
+        """Debug: coarse-stage candidates for WKT probes — the probe's
+        ENVELOPE (bbox) covers base-res cells (the reference queries its
+        STRtree with `geom.getEnvelopeInternal()`,
+        AreaCityQuery.java:209-212) and every tile keyed under a covered
+        cell is a candidate."""
+        base_res = self.base_res
+        schema = StructType([StructField("probe_id", LongType()),
+                             StructField("cell_id", LongType())])
+
+        def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                pids: list[int] = []
+                cids: list[int] = []
+                for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
+                    g = wkt_codec.loads(w_)
+                    if core.is_empty(g):
+                        continue
+                    cells = grid.cover_bbox(*core.bounds(g), base_res)
+                    pids.extend([int(pid)] * len(cells))
+                    cids.extend(cells.tolist())
+                yield pd.DataFrame({
+                    "probe_id": pd.Series(pids, dtype="int64"),
+                    "cell_id": pd.Series(cids, dtype="int64"),
+                })
+
+        cov = probes.select("probe_id", "wkt").mapInPandas(cover, schema)
+        cand = cov.join(self._tiles_for(where), "cell_id")
+        return self._envelope_hit_props(cand, ("probe_id",))
 
     # ---------------------------------------------------------- Q2
 

@@ -68,10 +68,14 @@ def load(spark: SparkSession, path: str) -> SpatialEngine:
         meta = json.load(f)
     boundaries = spark.read.parquet(os.path.join(path, "boundaries")).cache()
     tiles = spark.read.parquet(os.path.join(path, "tiles")).cache()
-    return SpatialEngine(
+    eng = SpatialEngine(
         spark, boundaries, tiles, base_res=meta["base_res"],
         broadcast_tiles=meta["n_tiles"] < 3_000_000,
     )
+    # DataFromWkbsFile analog (QueryInitInfo, AreaCityQuery.java:1562-1565)
+    eng._init_meta = {"data_from_store": True, "store_path": path,
+                      "polygon_count": meta.get("n_tiles"), **meta}
+    return eng
 
 
 def save_bucketed(engine: SpatialEngine, table: str, n_buckets: int = 64) -> None:

@@ -39,6 +39,12 @@ class _Reg:
 
 ENGINES = _Reg()
 
+# big-WKT response cap (≙ AllowResponseBigWKT,
+# /root/reference/Test_HttpApiServer.java:38-39, enforced :220-241:
+# responses carrying >20MB of WKT are refused unless explicitly allowed)
+ALLOW_RESPONSE_BIG_WKT = False
+MAX_RESPONSE_BYTES = 20 * 1024 * 1024
+
 
 def envelope(c: int, v, m: str = "") -> bytes:
     return json.dumps({"c": c, "v": v, "m": m}, ensure_ascii=False).encode()
@@ -121,7 +127,15 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 self._send(envelope(404, None, f"unknown verb {verb}"), 404)
                 return
-            self._send(envelope(200, {"list": rows}))
+            body = envelope(200, {"list": rows})
+            if not ALLOW_RESPONSE_BIG_WKT and len(body) > MAX_RESPONSE_BYTES:
+                self._send(envelope(
+                    500, None,
+                    f"matched {len(rows)} rows but the response exceeds the "
+                    "20M WKT limit; set ALLOW_RESPONSE_BIG_WKT=True to lift "
+                    "it"), 500)
+                return
+            self._send(body)
         except Exception as e:  # envelope the error like the reference does
             self._send(envelope(500, None, f"{type(e).__name__}: {e}"), 500)
 
