@@ -334,6 +334,38 @@ def region_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (pipeline/corpus.py::curate) as a
+    value-checked gate: quality filter (min 3 tokens) → exact dedup
+    (canonical = min doc_id per text fingerprint) → geo-annotation
+    (engine cell-grid join) → per-region doc counts. Docs derive
+    deterministically from events: ~1/5 fail quality ('tiny'), the rest
+    fall into 997 duplicate classes so dedup does real work."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    docs = spark.sql(f"""
+        WITH probes AS ({fixtures.point_probes_sql("events")})
+        SELECT CAST(point_id AS STRING) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text',
+                   CASE WHEN point_id % 5 = 0 THEN 'tiny'
+                        ELSE concat('alpha beta w', CAST(point_id % 997 AS STRING)) END,
+                   'media_ref', CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'geo',
+                   'text', concat('geo:', CAST(lng AS STRING), ',', CAST(lat AS STRING)),
+                   'media_ref', CAST(NULL AS STRING), 'offset', 1)
+               ) AS spans
+        FROM probes
+    """)
+    from areacity_query_geometry_spark.pipeline import corpus
+
+    _curated, stats = corpus.curate(eng, docs, min_tokens=3)
+    return stats.select(
+        F.col("id").alias("region_code"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raster↔vector: burn every region onto the uniform res-6 grid
     (5.625° cells) and count fully-covered vs edge cells per region."""
@@ -838,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
         "region_doc_rollup": region_doc_rollup,
+        "corpus_curation": corpus_curation,
         "raster_coverage": raster_coverage,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -974,6 +1007,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM j
             GROUP BY ROLLUP(deep, region_code)
+        """,
+        "corpus_curation": f"""
+            WITH probes AS ({probes}),
+            docs AS (
+                SELECT point_id, CAST(point_id AS VARCHAR) AS doc_id, lng, lat,
+                       CASE WHEN point_id % 5 = 0 THEN 'tiny'
+                            ELSE 'alpha beta w' || CAST(point_id % 997 AS VARCHAR)
+                       END AS text
+                FROM probes
+            ),
+            quality AS (
+                SELECT * FROM docs WHERE len(string_split(text, ' ')) >= 3
+            ),
+            canon AS (
+                SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+            ),
+            kept AS (
+                SELECT d.* FROM docs d JOIN canon c ON d.doc_id = c.doc_id
+            ),
+            hits AS (
+                SELECT DISTINCT k.doc_id, r.code
+                FROM kept k
+                JOIN {regions}
+                  ON k.lng >= r.x0 AND k.lng <= r.x1
+                 AND k.lat >= r.y0 AND k.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND k.lng > r.hx0 AND k.lng < r.hx1
+                          AND k.lat > r.hy0 AND k.lat < r.hy1)
+            )
+            SELECT code AS region_code, CAST(count(*) AS BIGINT) AS n_docs
+            FROM hits GROUP BY code
         """,
         "media_span_features": f"""
             WITH d AS (
