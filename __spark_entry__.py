@@ -267,6 +267,22 @@ def q4_attribute_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_wkt_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 WITH full-geometry WKT reconstruction (the reference verb's
+    main job: ReadWKT_FromWkbsFile returns each matching feature's
+    complete WKT, AreaCityQuery.java:328-399). The oracle rebuilds the
+    exact JTS-style WKT text in pure SQL from the region-part VALUES
+    (all fixture coordinates are whole degrees, so integer formatting
+    is lossless); the EMPTY-geometry feature echoes 'EMPTY'."""
+    eng = _engine(spark)
+    out = eng.read_wkt_features(with_wkt=True)
+    return out.select(
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+        F.col("wkt"),
+    )
+
+
 def q5_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling introspection — engine-specific (no SQL oracle): the tile
     count and interior share per region (Q5 analog)."""
@@ -866,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_line_probe_join": q3_line_probe_join,
         "q3_polygon_probe_join": q3_polygon_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
+        "q4_wkt_fetch": q4_wkt_fetch,
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
@@ -978,6 +995,42 @@ def oracle_sql() -> dict[str, str]:
                    code AS name
             FROM {regions}
             WHERE deep >= 2 AND code LIKE 'D0%'
+        """,
+        "q4_wkt_fetch": f"""
+            WITH parts AS (SELECT * FROM {regions}),
+            ringed AS (
+                SELECT ord, code, deep, y0, x0,
+                       '(' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ')' AS shell,
+                       CASE WHEN hx0 IS NOT NULL THEN
+                       ', (' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ')' ELSE '' END AS holes
+                FROM parts
+            ),
+            polys AS (
+                SELECT ord, code, deep, y0, x0,
+                       '(' || shell || holes || ')' AS poly
+                FROM ringed
+            ),
+            agg AS (
+                SELECT ord, code, deep, count(*) AS np,
+                       string_agg(poly, ', ' ORDER BY y0, x0) AS body
+                FROM polys GROUP BY ord, code, deep
+            )
+            SELECT code AS region_code, CAST(deep AS BIGINT) AS deep,
+                   CASE WHEN np = 1 THEN 'POLYGON ' || body
+                        ELSE 'MULTIPOLYGON (' || body || ')' END AS wkt
+            FROM agg
+            UNION ALL
+            SELECT 'E1', CAST(3 AS BIGINT), 'EMPTY'
         """,
         "doc_geo_join": f"""
             WITH probes AS ({probes})
