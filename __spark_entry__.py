@@ -464,6 +464,71 @@ def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — each 'click' event matched to the user's most
+    recent 'view' at-or-before it. The reference has no table joins at
+    all (SURVEY.md §2.6); this is the lakehouse op Spark lacks natively,
+    composed scalably: tag+union both sides, ONE shuffle by user_id,
+    `last_value IGNORE NULLS` over the time-ordered window — no per-key
+    loops, no range fan-out, skew bounded by rows-per-user."""
+    _register(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH u AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        w AS (
+            SELECT user_id, ts, event_id, is_click,
+                   last_value(v_id, true) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS view_event_id
+            FROM u
+        )
+        SELECT CAST(event_id AS BIGINT) AS click_event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(view_event_id AS BIGINT) AS view_event_id
+        FROM w WHERE is_click = 1 AND view_event_id IS NOT NULL
+    """)
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE join — purchases within (t, t+1h] of each click,
+    same user. Composed as a bounded-fan-out equi-join: events bucket
+    to epoch hours (narrow), each click enumerates its 2 covered
+    buckets, join on (user_id, bucket) then exact interval filter —
+    the scalable alternative to an O(n²) theta join; at 10^12 rows the
+    shuffle is keyed and the fan-out is a constant 2."""
+    _register(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        buckets AS (
+            SELECT c.*, explode(sequence(
+                CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT),
+                CAST(floor(unix_timestamp(ts + INTERVAL 1 HOUR) / 3600) AS BIGINT)
+            )) AS bkt
+            FROM clicks c
+        ),
+        ev AS (
+            SELECT user_id, ts AS ets, value,
+                   CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS bkt
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(b.event_id AS BIGINT) AS click_event_id,
+               CAST(count(e.ets) AS BIGINT) AS n_purchases,
+               CAST(round(sum(e.value), 3) AS DOUBLE) AS sum_value
+        FROM buckets b JOIN ev e
+          ON e.user_id = b.user_id AND e.bkt = b.bkt
+         AND e.ets > b.ts AND e.ets <= b.ts + INTERVAL 1 HOUR
+        GROUP BY b.event_id
+    """)
+
+
 # ----------------------------------------------------------------- pipeline
 
 _STOPWORDS = "'the','of','and','to','a','in','is','it','on','for'"
@@ -888,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
+        "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
         "raster_coverage": raster_coverage,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -1060,6 +1127,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM j
             GROUP BY ROLLUP(deep, region_code)
+        """,
+        "events_asof_join": """
+            SELECT c.event_id AS click_event_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   v.view_event_id
+            FROM events c,
+                 LATERAL (SELECT v.event_id AS view_event_id
+                          FROM events v
+                          WHERE v.event_type = 'view'
+                            AND v.user_id = c.user_id AND v.ts <= c.ts
+                          ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v
+            WHERE c.event_type = 'click'
+        """,
+        "events_range_join": """
+            SELECT c.event_id AS click_event_id,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(round(sum(e.value), 3) AS DOUBLE) AS sum_value
+            FROM events c
+            JOIN events e
+              ON e.event_type = 'purchase' AND e.user_id = c.user_id
+             AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+            WHERE c.event_type = 'click'
+            GROUP BY c.event_id
         """,
         "corpus_curation": f"""
             WITH probes AS ({probes}),
