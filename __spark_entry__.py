@@ -464,6 +464,29 @@ def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-aggregation surface on the LARGEST test table (lineitem,
+    600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
+    the scale-critical plan for free — shipdate predicate pushed to the
+    parquet scan, partial (map-side) aggregation before the 6-group
+    exchange, whole-stage codegen for the arithmetic; at 10^12 rows the
+    shuffle carries only num_partitions × 6 partial rows."""
+    _register(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+               CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join — each 'click' event matched to the user's most
     recent 'view' at-or-before it. The reference has no table joins at
@@ -953,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "raster_coverage": raster_coverage,
@@ -1127,6 +1151,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM j
             GROUP BY ROLLUP(deep, region_code)
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+                   CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "events_asof_join": """
             SELECT c.event_id AS click_event_id,
