@@ -464,6 +464,38 @@ def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_point_lookup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming face of Q1, VALUE-checked against the same
+    DuckDB oracle as the batch q1: the probe set streams from the
+    events parquet (availableNow file source → one-shot drain), runs
+    the identical stream→static cell-grid join + Arrow refine
+    (streaming/point_stream.py), lands in a memory sink, and the
+    drained table is decorated exactly like batch Q1. Batch/stream
+    parity is thereby hash-verified, not just row-counted."""
+    import uuid
+
+    from areacity_query_geometry_spark.streaming import point_stream
+
+    eng = _engine(spark)
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(ev_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream.createOrReplaceTempView("stream_events")
+    probes = spark.sql(fixtures.point_probes_sql("stream_events"))
+    tbl = f"stream_q1_{uuid.uuid4().hex[:8]}"
+    point_stream.run_to_memory(eng, probes, tbl)
+    return spark.table(tbl).join(
+        F.broadcast(eng.boundaries.select(
+            "region_id", F.col("id").alias("region_code"), "deep")),
+        "region_id",
+    ).select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-aggregation surface on the LARGEST test table (lineitem,
     600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
@@ -976,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
+        "stream_point_lookup_gate": stream_point_lookup_gate,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
@@ -1008,8 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "greatest(r.x0, least(p.lng, r.x1))",
         "greatest(r.y0, least(p.lat, r.y1))",
     )
-    return {
-        "q1_point_region_join": f"""
+    q1_oracle = f"""
             WITH probes AS ({probes})
             SELECT DISTINCT p.point_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
             FROM probes p
@@ -1017,7 +1049,11 @@ def oracle_sql() -> dict[str, str]:
               ON p.lng >= r.x0 AND p.lng <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
              AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
                       AND p.lat > r.hy0 AND p.lat < r.hy1)
-        """,
+        """
+    return {
+        "q1_point_region_join": q1_oracle,
+        # the streaming face must produce the EXACT same value set
+        "stream_point_lookup_gate": q1_oracle,
         "q2_nearest_region_tolerance": f"""
             WITH probes AS ({miss}),
             cand AS (
