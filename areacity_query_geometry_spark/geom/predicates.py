@@ -65,6 +65,29 @@ def points_parity(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarra
     """
     if len(segs) == 0 or len(px) == 0:
         return np.zeros(len(px), dtype=bool)
+    # y-banded pruning for large (points × segments) products: a segment
+    # changes the parity of a point only when min(y1,y2) <= py < max(y1,y2),
+    # so restricting each point-chunk (sorted by py) to the segments whose
+    # y-interval overlaps the chunk's y-range drops only zero-crossing
+    # segments — the result is exactly the dense broadcast's.
+    if len(px) * len(segs) > 2_000_000 and len(segs) >= 256:
+        sminy = np.minimum(segs[:, 1], segs[:, 3])
+        smaxy = np.maximum(segs[:, 1], segs[:, 3])
+        order = np.argsort(py, kind="stable")
+        out = np.zeros(len(px), dtype=bool)
+        for chunk in np.array_split(order, 64):
+            if len(chunk) == 0:
+                continue
+            cy = py[chunk]
+            sel = (sminy <= cy.max()) & (smaxy > cy.min())
+            out[chunk] = _parity_dense(px[chunk], cy, segs[sel])
+        return out
+    return _parity_dense(px, py, segs)
+
+
+def _parity_dense(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    if len(segs) == 0 or len(px) == 0:
+        return np.zeros(len(px), dtype=bool)
     x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     # standard half-open crossing rule; guard div-by-zero on horizontal segs
     yd = y2 - y1
@@ -176,6 +199,181 @@ def segment_counts_in_cells(segs: np.ndarray, cell_minx, cell_miny, cell_maxx, c
     return hit.sum(axis=1)
 
 
+def clip_ring_to_rects(ring: np.ndarray, minxs: np.ndarray, minys: np.ndarray,
+                       maxxs: np.ndarray, maxys: np.ndarray,
+                       chunk_elems: int = 4_000_000):
+    """Batched Sutherland–Hodgman: ONE closed ring clipped against MANY
+    axis-aligned rects in four vectorized half-plane passes over a CSR
+    (concatenated-vertices + offsets) layout — the tile builder's
+    replacement for calling `clip_ring_to_rect` once per cell, which
+    re-walked the full ring per cell (O(cells × ring_points) of Python
+    loop; this is the same arithmetic flattened into numpy, bit-for-bit
+    identical output).
+
+    Returns (vx, vy, offsets) where cell k's clipped OPEN ring (deduped,
+    wraparound duplicate removed, <3 vertices → empty) is
+    vx[offsets[k]:offsets[k+1]], vy[...]. Callers close the ring.
+    """
+    K = len(minxs)
+    pts = ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) else ring
+    V = len(pts)
+    empty = (np.zeros(0), np.zeros(0), np.zeros(K + 1, dtype=np.int64))
+    if V < 3 or K == 0:
+        return empty
+    bx = np.ascontiguousarray(pts[:, 0], dtype=np.float64)
+    by = np.ascontiguousarray(pts[:, 1], dtype=np.float64)
+    ax = np.roll(bx, 1)
+    ay = np.roll(by, 1)
+
+    out_vx: list[np.ndarray] = []
+    out_vy: list[np.ndarray] = []
+    out_lens: list[np.ndarray] = []
+    kchunk = max(1, chunk_elems // max(V, 1))
+    for k0 in range(0, K, kchunk):
+        k1 = min(K, k0 + kchunk)
+        vx, vy, offs = _clip_first_pass(bx, by, ax, ay, minxs[k0:k1])
+        for cvals, axis, keep_ge in ((maxxs[k0:k1], 0, False),
+                                     (minys[k0:k1], 1, True),
+                                     (maxys[k0:k1], 1, False)):
+            vx, vy, offs = _clip_csr_pass(vx, vy, offs, cvals, axis, keep_ge)
+        vx, vy, lens = _clip_finalize(vx, vy, offs)
+        out_vx.append(vx)
+        out_vy.append(vy)
+        out_lens.append(lens)
+    vx = np.concatenate(out_vx) if out_vx else np.zeros(0)
+    vy = np.concatenate(out_vy) if out_vy else np.zeros(0)
+    lens = np.concatenate(out_lens) if out_lens else np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return vx, vy, offsets
+
+
+def _clip_first_pass(bx, by, ax, ay, cvals):
+    """Pass 1 (x >= minx per cell) from the dense (cells × ring) product."""
+    K, V = len(cvals), len(bx)
+    c = cvals[:, None]
+    cur_in = bx[None, :] >= c
+    prev_in = ax[None, :] >= c
+    cross = cur_in != prev_in
+    n_int = cross.astype(np.int64)
+    counts = (n_int + cur_in).ravel()
+    pos = np.cumsum(counts) - counts
+    T = int(pos[-1] + counts[-1]) if len(counts) else 0
+    vx = np.empty(T)
+    vy = np.empty(T)
+    # crossings are sparse (a handful per cell): gather their indices and
+    # evaluate the intersection arithmetic only there — same expressions
+    # as the dense form, so values are bit-identical
+    ii = np.nonzero(cross.ravel())[0]
+    ik = ii // V
+    ij = ii % V
+    t = (cvals[ik] - ax[ij]) / (bx[ij] - ax[ij])
+    vx[pos[ii]] = cvals[ik]
+    vy[pos[ii]] = ay[ij] + t * (by[ij] - ay[ij])
+    jj = np.nonzero(cur_in.ravel())[0]
+    q = pos[jj] + n_int.ravel()[jj]
+    vx[q] = bx[jj % V]
+    vy[q] = by[jj % V]
+    lens = (n_int + cur_in).sum(axis=1)
+    offs = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return vx, vy, offs
+
+
+def _clip_csr_pass(vx, vy, offs, cvals, axis, keep_ge):
+    """One half-plane pass over CSR polygons (per-cell wraparound prev)."""
+    K = len(cvals)
+    T = len(vx)
+    if T == 0:
+        return vx, vy, offs
+    lens = np.diff(offs)
+    cell_of = np.repeat(np.arange(K, dtype=np.int64), lens)
+    prev = np.arange(T, dtype=np.int64) - 1
+    nz = lens > 0
+    prev[offs[:-1][nz]] = offs[1:][nz] - 1
+    bax = vx if axis == 0 else vy
+    bot = vy if axis == 0 else vx
+    aax = bax[prev]
+    aot = bot[prev]
+    c = cvals[cell_of]
+    if keep_ge:
+        cur_in = bax >= c
+        prev_in = aax >= c
+    else:
+        cur_in = bax <= c
+        prev_in = aax <= c
+    cross = cur_in != prev_in
+    n_int = cross.astype(np.int64)
+    counts = n_int + cur_in
+    pos = np.cumsum(counts) - counts
+    T2 = int(pos[-1] + counts[-1]) if T else 0
+    ox = np.empty(T2)
+    oy = np.empty(T2)
+    ii = np.nonzero(cross)[0]
+    t = (c[ii] - aax[ii]) / (bax[ii] - aax[ii])
+    io = aot[ii] + t * (bot[ii] - aot[ii])
+    if axis == 0:
+        ox[pos[ii]] = c[ii]
+        oy[pos[ii]] = io
+    else:
+        oy[pos[ii]] = c[ii]
+        ox[pos[ii]] = io
+    jj = np.nonzero(cur_in)[0]
+    q = pos[jj] + n_int[jj]
+    ox[q] = vx[jj]
+    oy[q] = vy[jj]
+    newlens = np.bincount(cell_of, weights=counts, minlength=K).astype(np.int64)
+    offs2 = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(newlens, out=offs2[1:])
+    return ox, oy, offs2
+
+
+def _clip_finalize(vx, vy, offs):
+    """Per-cell: drop consecutive duplicates, the wraparound duplicate,
+    and <3-vertex degenerates — the same post-pass as clip_ring_to_rect,
+    vectorized across cells. Returns (vx, vy, per-cell lens)."""
+    K = len(offs) - 1
+    T = len(vx)
+    if T == 0:
+        return vx, vy, np.zeros(K, dtype=np.int64)
+    lens = np.diff(offs)
+    keep = np.ones(T, dtype=bool)
+    keep[1:] = (vx[1:] != vx[:-1]) | (vy[1:] != vy[:-1])
+    nz = lens > 0
+    keep[offs[:-1][nz]] = True  # cell starts always kept
+    cell_of = np.repeat(np.arange(K, dtype=np.int64), lens)
+    vx2 = vx[keep]
+    vy2 = vy[keep]
+    cell2 = cell_of[keep]
+    lens2 = np.bincount(cell2, minlength=K).astype(np.int64)
+    offs2 = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(lens2, out=offs2[1:])
+    # wraparound duplicate: first == last (cells with ≥2 vertices)
+    nz2 = lens2 > 1
+    starts = offs2[:-1][nz2]
+    ends = offs2[1:][nz2] - 1
+    wrap = (vx2[starts] == vx2[ends]) & (vy2[starts] == vy2[ends])
+    drop = np.zeros(len(vx2), dtype=bool)
+    drop[ends[wrap]] = True
+    vx3 = vx2[~drop]
+    vy3 = vy2[~drop]
+    lens3 = lens2 - np.bincount(cell2[drop], minlength=K).astype(np.int64) \
+        if drop.any() else lens2
+    # degenerate (<3 vertices) → empty cell
+    bad = (lens3 > 0) & (lens3 < 3)
+    if bad.any():
+        offs3 = np.zeros(K + 1, dtype=np.int64)
+        np.cumsum(lens3, out=offs3[1:])
+        kill = np.zeros(len(vx3), dtype=bool)
+        for k in np.nonzero(bad)[0]:
+            kill[offs3[k]:offs3[k] + lens3[k]] = True
+        vx3 = vx3[~kill]
+        vy3 = vy3[~kill]
+        lens3 = lens3.copy()
+        lens3[bad] = 0
+    return vx3, vy3, lens3
+
+
 def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     """Sutherland–Hodgman clip of one closed ring against an axis-aligned
     rect. Returns a closed ring (possibly empty). The clip region is
@@ -187,40 +385,46 @@ def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     if len(pts) < 3:
         return np.zeros((0, 2))
 
-    def clip_edge(poly, inside_fn, intersect_fn):
-        if len(poly) == 0:
+    def clip_edge(poly, axis, c, keep_ge):
+        """One Sutherland–Hodgman half-plane pass, fully vectorized.
+        Per input vertex (in order, prev = predecessor with wraparound)
+        the output is [crossing point if the edge crosses] then [the
+        vertex if inside] — identical emission order and identical
+        intersection arithmetic (t = (c-a)/(b-a), o = a_o + t*(b_o-a_o))
+        to the scalar loop this replaces, so output is bit-for-bit
+        unchanged."""
+        n = len(poly)
+        if n == 0:
             return poly
-        out = []
-        prev = poly[-1]
-        prev_in = inside_fn(prev)
-        for cur in poly:
-            cur_in = inside_fn(cur)
-            if cur_in:
-                if not prev_in:
-                    out.append(intersect_fn(prev, cur))
-                out.append(cur)
-            elif prev_in:
-                out.append(intersect_fn(prev, cur))
-            prev, prev_in = cur, cur_in
-        return np.asarray(out) if out else np.zeros((0, 2))
-
-    def ix_x(xc):
-        def f(a, b):
-            t = (xc - a[0]) / (b[0] - a[0])
-            return np.array([xc, a[1] + t * (b[1] - a[1])])
-        return f
-
-    def ix_y(yc):
-        def f(a, b):
-            t = (yc - a[1]) / (b[1] - a[1])
-            return np.array([a[0] + t * (b[0] - a[0]), yc])
-        return f
+        a = np.roll(poly, 1, axis=0)  # prev vertex per position
+        b = poly
+        if keep_ge:
+            cur_in = b[:, axis] >= c
+            prev_in = a[:, axis] >= c
+        else:
+            cur_in = b[:, axis] <= c
+            prev_in = a[:, axis] <= c
+        cross = cur_in != prev_in
+        other = 1 - axis
+        denom = np.where(cross, b[:, axis] - a[:, axis], 1.0)
+        t = (c - a[:, axis]) / denom
+        io = a[:, other] + t * (b[:, other] - a[:, other])
+        n_int = cross.astype(np.int64)
+        counts = n_int + cur_in.astype(np.int64)
+        out = np.empty((int(counts.sum()), 2))
+        pos = np.cumsum(counts) - counts
+        ii = np.nonzero(cross)[0]
+        out[pos[ii], axis] = c
+        out[pos[ii], other] = io[ii]
+        jj = np.nonzero(cur_in)[0]
+        out[pos[jj] + n_int[jj]] = b[jj]
+        return out
 
     poly = np.asarray(pts, dtype=np.float64)
-    poly = clip_edge(poly, lambda p: p[0] >= minx, ix_x(minx))
-    poly = clip_edge(poly, lambda p: p[0] <= maxx, ix_x(maxx))
-    poly = clip_edge(poly, lambda p: p[1] >= miny, ix_y(miny))
-    poly = clip_edge(poly, lambda p: p[1] <= maxy, ix_y(maxy))
+    poly = clip_edge(poly, 0, minx, True)
+    poly = clip_edge(poly, 0, maxx, False)
+    poly = clip_edge(poly, 1, miny, True)
+    poly = clip_edge(poly, 1, maxy, False)
     if len(poly) < 3:
         return np.zeros((0, 2))
     # drop consecutive duplicates (and the wrap-around duplicate, so the

@@ -125,6 +125,26 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                 cells, kinds = grid.polyfill_adaptive(
                     geom, base_res=base_res, max_res=max_res, seg_budget=seg_budget
                 )
+                # batched clip: every boundary cell of this feature is
+                # clipped against every ring in four vectorized passes
+                # (predicates.clip_ring_to_rects) instead of re-walking
+                # the full ring once per cell
+                b_pos = np.nonzero(kinds == 0)[0]
+                ring_csrs = []
+                cell_rank: dict[int, int] = {}
+                if len(b_pos):
+                    bc = cells[b_pos]
+                    bminx, bminy, bmaxx, bmaxy = grid.cells_bounds(bc)
+                    bminx = bminx - CLIP_EPS
+                    bminy = bminy - CLIP_EPS
+                    bmaxx = bmaxx + CLIP_EPS
+                    bmaxy = bmaxy + CLIP_EPS
+                    for rings in core.polygons_of(geom):
+                        for ring0 in rings:
+                            ring_csrs.append(predicates.clip_ring_to_rects(
+                                np.asarray(ring0, dtype=np.float64),
+                                bminx, bminy, bmaxx, bmaxy))
+                    cell_rank = {int(c): i for i, c in enumerate(bc.tolist())}
                 for cid, kind in zip(cells.tolist(), kinds.tolist()):
                     r = cid >> 56
                     bounds = grid.cell_bounds(cid)
@@ -139,9 +159,20 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                             emit(_ancestor_at(cid, base_res), r, rid, deep, 2,
                                  bounds, None, 0)
                     else:
-                        twkb = clip_geom_to_cell(geom, cid)
-                        if twkb is None:
+                        i = cell_rank[cid]
+                        rings_out = []
+                        for vx, vy, offsets in ring_csrs:
+                            s, e2 = int(offsets[i]), int(offsets[i + 1])
+                            if e2 > s:
+                                n = e2 - s
+                                ringarr = np.empty((n + 1, 2))
+                                ringarr[:n, 0] = vx[s:e2]
+                                ringarr[:n, 1] = vy[s:e2]
+                                ringarr[n] = ringarr[0]
+                                rings_out.append(ringarr)
+                        if not rings_out:
                             continue
+                        twkb = wkb.dumps({"type": "Polygon", "rings": rings_out})
                         key = cid if r == base_res else _ancestor_at(cid, base_res)
                         emit(key, r, rid, deep, 0, bounds, twkb,
                              (len(twkb) // 16) & 0x7FFFFFFF)
