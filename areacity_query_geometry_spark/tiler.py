@@ -103,20 +103,31 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in cols}
+            num_acc: dict[str, list[np.ndarray]] = {
+                k: [] for k in cols if k != "tile_wkb"}
+            wkb_acc: list = []
 
-            def emit(key, res, rid, deep, kind, bounds, twkb, npts):
-                out["cell_id"].append(key)
-                out["res"].append(res)
-                out["region_id"].append(rid)
-                out["deep"].append(deep)
-                out["kind"].append(kind)
-                out["minx"].append(bounds[0])
-                out["miny"].append(bounds[1])
-                out["maxx"].append(bounds[2])
-                out["maxy"].append(bounds[3])
-                out["tile_wkb"].append(twkb)
-                out["n_pts"].append(npts)
+            def push(keys, res_vals, rid, deep, kind, cells_for_bounds,
+                     wkbs, npts):
+                n = len(keys)
+                if n == 0:
+                    return
+                bx0, by0, bx1, by1 = grid.cells_bounds(cells_for_bounds)
+                num_acc["cell_id"].append(np.asarray(keys, dtype=np.int64))
+                num_acc["res"].append(
+                    np.full(n, res_vals, dtype=np.int64)
+                    if np.isscalar(res_vals) else np.asarray(res_vals, dtype=np.int64))
+                num_acc["region_id"].append(np.full(n, rid, dtype=np.int64))
+                num_acc["deep"].append(np.full(n, deep, dtype=np.int64))
+                num_acc["kind"].append(np.full(n, kind, dtype=np.int64))
+                num_acc["minx"].append(bx0)
+                num_acc["miny"].append(by0)
+                num_acc["maxx"].append(bx1)
+                num_acc["maxy"].append(by1)
+                num_acc["n_pts"].append(
+                    np.zeros(n, dtype=np.int64)
+                    if npts is None else np.asarray(npts, dtype=np.int64))
+                wkb_acc.extend([None] * n if wkbs is None else wkbs)
 
             for rid, deep, gwkb in zip(pdf["region_id"], pdf["deep"], pdf["geom_wkb"]):
                 if gwkb is None:
@@ -125,41 +136,49 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                 cells, kinds = grid.polyfill_adaptive(
                     geom, base_res=base_res, max_res=max_res, seg_budget=seg_budget
                 )
-                # batched clip: every boundary cell of this feature is
+                if not len(cells):
+                    continue
+                res_arr = cells >> 56
+                m_int = kinds == 1
+                # interior, coarser than base → expand to base-res children
+                a = np.nonzero(m_int & (res_arr < base_res))[0]
+                if len(a):
+                    keys = np.concatenate(
+                        [_expand_to_base(int(cells[i]), base_res) for i in a])
+                    push(keys, base_res, rid, deep, 1, keys, None, None)
+                # interior at base res → keyed by itself
+                b = np.nonzero(m_int & (res_arr == base_res))[0]
+                if len(b):
+                    push(cells[b], base_res, rid, deep, 1, cells[b], None, None)
+                # interior sub-cell of a dense boundary cell (kind 2),
+                # keyed by its base-res ancestor, bounds of the fine cell
+                csel = np.nonzero(m_int & (res_arr > base_res))[0]
+                if len(csel):
+                    r_, ix, iy = grid.unpack(cells[csel])
+                    k = r_ - base_res
+                    anc = grid.pack(base_res, ix >> k, iy >> k)
+                    push(anc, res_arr[csel], rid, deep, 2, cells[csel],
+                         None, None)
+                # boundary cells: batched clip — every boundary cell is
                 # clipped against every ring in four vectorized passes
                 # (predicates.clip_ring_to_rects) instead of re-walking
                 # the full ring once per cell
                 b_pos = np.nonzero(kinds == 0)[0]
-                ring_csrs = []
-                cell_rank: dict[int, int] = {}
                 if len(b_pos):
                     bc = cells[b_pos]
                     bminx, bminy, bmaxx, bmaxy = grid.cells_bounds(bc)
-                    bminx = bminx - CLIP_EPS
-                    bminy = bminy - CLIP_EPS
-                    bmaxx = bmaxx + CLIP_EPS
-                    bmaxy = bmaxy + CLIP_EPS
-                    for rings in core.polygons_of(geom):
-                        for ring0 in rings:
-                            ring_csrs.append(predicates.clip_ring_to_rects(
-                                np.asarray(ring0, dtype=np.float64),
-                                bminx, bminy, bmaxx, bmaxy))
-                    cell_rank = {int(c): i for i, c in enumerate(bc.tolist())}
-                for cid, kind in zip(cells.tolist(), kinds.tolist()):
-                    r = cid >> 56
-                    bounds = grid.cell_bounds(cid)
-                    if kind == 1:
-                        if r < base_res:
-                            for key in _expand_to_base(cid, base_res).tolist():
-                                emit(key, base_res, rid, deep, 1,
-                                     grid.cell_bounds(key), None, 0)
-                        elif r == base_res:
-                            emit(cid, r, rid, deep, 1, bounds, None, 0)
-                        else:  # interior sub-cell of a dense boundary cell
-                            emit(_ancestor_at(cid, base_res), r, rid, deep, 2,
-                                 bounds, None, 0)
-                    else:
-                        i = cell_rank[cid]
+                    ring_csrs = [
+                        predicates.clip_ring_to_rects(
+                            np.asarray(ring0, dtype=np.float64),
+                            bminx - CLIP_EPS, bminy - CLIP_EPS,
+                            bmaxx + CLIP_EPS, bmaxy + CLIP_EPS)
+                        for rings in core.polygons_of(geom)
+                        for ring0 in rings
+                    ]
+                    keep_idx: list[int] = []
+                    wkbs: list[bytes] = []
+                    npts: list[int] = []
+                    for i in range(len(bc)):
                         rings_out = []
                         for vx, vy, offsets in ring_csrs:
                             s, e2 = int(offsets[i]), int(offsets[i + 1])
@@ -173,10 +192,26 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                         if not rings_out:
                             continue
                         twkb = wkb.dumps({"type": "Polygon", "rings": rings_out})
-                        key = cid if r == base_res else _ancestor_at(cid, base_res)
-                        emit(key, r, rid, deep, 0, bounds, twkb,
-                             (len(twkb) // 16) & 0x7FFFFFFF)
-            yield pd.DataFrame(out)
+                        keep_idx.append(i)
+                        wkbs.append(twkb)
+                        npts.append((len(twkb) // 16) & 0x7FFFFFFF)
+                    if keep_idx:
+                        sel = np.asarray(keep_idx, dtype=np.int64)
+                        bsel = bc[sel]
+                        r_sel = res_arr[b_pos][sel]
+                        fine = r_sel > base_res
+                        keys = bsel.copy()
+                        if fine.any():
+                            rf, ixf, iyf = grid.unpack(bsel[fine])
+                            kf = rf - base_res
+                            keys[fine] = grid.pack(base_res, ixf >> kf, iyf >> kf)
+                        push(keys, r_sel, rid, deep, 0, bsel, wkbs, npts)
+
+            out = {k: (np.concatenate(v) if v else np.zeros(0, dtype=np.int64))
+                   for k, v in num_acc.items()}
+            frame = pd.DataFrame(out)
+            frame["tile_wkb"] = pd.Series(wkb_acc, dtype=object)
+            yield frame[list(cols)]
     return fn
 
 
