@@ -464,6 +464,48 @@ def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
+    documents, deterministic tie-break on doc_id. Spark plans this as
+    TakeOrderedAndProject — per-partition heaps, only k rows per
+    partition reach the driver-side merge (no full sort shuffle at
+    10^12 rows)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        ORDER BY n_tokens DESC, doc_id
+        LIMIT 50
+    """)
+
+
+def region_doc_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators over region hit-sets (SURVEY §2.6 lists set ops as
+    absent from the reference — built anyway): docs hitting a deep-0
+    region INTERSECT docs hitting deep-2, UNION'd with docs hitting
+    deep-0 EXCEPT deep-2 (tagged). Both branches are cell-join outputs,
+    so the set algebra runs on real engine results."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    probes = spark.sql(fixtures.point_probes_sql("events"))
+    hits = eng.query_points(probes).select("point_id", "deep").cache()
+    hits.createOrReplaceTempView("setop_hits")
+    return spark.sql("""
+        SELECT 'both' AS tag, point_id FROM (
+            SELECT point_id FROM setop_hits WHERE deep = 0
+            INTERSECT
+            SELECT point_id FROM setop_hits WHERE deep = 2
+        )
+        UNION ALL
+        SELECT 'only_deep0' AS tag, point_id FROM (
+            SELECT point_id FROM setop_hits WHERE deep = 0
+            EXCEPT
+            SELECT point_id FROM setop_hits WHERE deep = 2
+        )
+    """).selectExpr("tag", "CAST(point_id AS BIGINT) AS point_id")
+
+
 def stream_point_lookup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming face of Q1, VALUE-checked against the same
     DuckDB oracle as the batch q1: the probe set streams from the
@@ -1008,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
+        "top_docs_by_quality": top_docs_by_quality,
+        "region_doc_set_ops": region_doc_set_ops,
         "stream_point_lookup_gate": stream_point_lookup_gate,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
@@ -1187,6 +1231,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM j
             GROUP BY ROLLUP(deep, region_code)
+        """,
+        "top_docs_by_quality": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id
+            LIMIT 50
+        """,
+        "region_doc_set_ops": f"""
+            WITH probes AS ({probes}),
+            hits AS (
+                SELECT DISTINCT p.point_id, r.deep
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1
+                 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+            )
+            SELECT 'both' AS tag, point_id FROM (
+                SELECT point_id FROM hits WHERE deep = 0
+                INTERSECT
+                SELECT point_id FROM hits WHERE deep = 2
+            )
+            UNION ALL
+            SELECT 'only_deep0' AS tag, point_id FROM (
+                SELECT point_id FROM hits WHERE deep = 0
+                EXCEPT
+                SELECT point_id FROM hits WHERE deep = 2
+            )
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
