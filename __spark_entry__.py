@@ -72,11 +72,59 @@ def q1_point_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q1_sortmerge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 over the NON-broadcast tile path: broadcast_tiles=False forces
+    the shuffle join and salt_buckets=4 exercises the salted tile
+    replication (engine.py `_match_points` sort-merge leg) — the plan
+    the engine switches to when the tile set passes the 3M-row
+    broadcast threshold (township-scale boundary sets, SCALE.md row 3).
+    Identical oracle to q1_point_region_join: the driver hash-verifies
+    that the sort-merge + salted leg produces the exact same hit-set as
+    the broadcast leg."""
+    _register(spark, sf_dir, ("events",))
+    base = _engine(spark)
+    eng = SpatialEngine(spark, base.boundaries, base.tiles, base.base_res,
+                        broadcast_tiles=False, salt_buckets=4)
+    probes = spark.sql(fixtures.point_probes_sql("events"))
+    out = eng.query_points(probes)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
 def q2_nearest_region_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("events",))
     eng = _engine(spark)
     probes = spark.sql(fixtures.miss_probes_sql("events"))
     out = eng.query_points_with_tolerance(probes, tolerance_m=-1)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+        F.round(F.col("point_distance"), 2).alias("dist_m"),
+    )
+
+
+def q2_tolerance_2500m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 with a FINITE tolerance (2500 m) — the reference's headline
+    offshore use-case (Test.java:323-338: 象山县 at tolerance 2500).
+    Exercises the bounded path end to end: the 24-gon circle cover
+    (CreateSimpleCircle arithmetic, AreaCityQuery.java:1388-1405), the
+    per-point cell-range enumeration, the inscribed/escribed-radius
+    short-circuits, the exact circle∩tile test, AND the radius CUTOFF —
+    every region beyond 24-gon reach must NOT match (most miss probes
+    return zero rows). The DuckDB oracle reproduces the circle-intersect
+    decision geometrically: clip the 24-gon to the half-plane x ≥ part
+    west edge, then interval-overlap its y-range with the part's slab
+    (exact for this fixture world, where every probe sits west of every
+    region and the reach ≪ part width; the hole is unreachable at
+    2.5 km)."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    probes = spark.sql(fixtures.miss_probes_sql("events"))
+    out = eng.query_points_with_tolerance(probes, tolerance_m=2500.0)
     return out.select(
         F.col("point_id").cast("long").alias("point_id"),
         F.col("id").alias("region_code"),
@@ -284,8 +332,17 @@ def q4_wkt_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiling introspection — engine-specific (no SQL oracle): the tile
-    count and interior share per region (Q5 analog)."""
+    """Tiling introspection: tile count and interior share per region
+    (Q5 analog), now VALUE-checked against a DuckDB oracle. The oracle
+    exploits two exact properties of the adaptive descent on this
+    fixture world: (1) every region has ≤ 8 segments ≪ seg_budget 48,
+    so no cell ever splits past base_res 7; (2) interior cells coarser
+    than base_res are expanded to their base-res children in the tile
+    table (tiler.py `_expand_to_base`). Hence per region n_boundary =
+    #res-7 cells touched by ≥1 shell/hole segment (closed
+    cell-rect∩segment test — exact dyadic arithmetic) and n_interior =
+    #res-7 cells untouched with center strictly inside; n_tiles is
+    their sum."""
     eng = _engine(spark)
     return (
         eng.tiles.groupBy("region_id")
@@ -462,6 +519,30 @@ def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + F.round(x * 65535))
             / 65535.0, 4).alias("feature_q"),
     )
+
+
+def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level image decode, value-checked: each media span's
+    image materializes as actual 8-bit grayscale BMP bytes in a binary
+    column (functions/media.py encode_bmp_gray8 — pixels derived from
+    sha256(ref), 6×10 so rows carry 2 padding bytes), then the decode
+    stage parses the container back (header offsets, row padding,
+    bottom-up flip) and emits pixel statistics. The DuckDB oracle
+    recomputes both statistics straight from the sha256 arithmetic —
+    px_poshash is position-weighted, so a decoder that misread padding
+    or row order cannot hash-match."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://img/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    imgs = media.synthesize_bmp(spans, w=6, h=10)
+    out = media.decode_image_bmp(imgs)
+    return out.select("doc_id", "width", "height", "px_sum", "px_poshash")
 
 
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1175,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_point_region_join": q1_point_region_join,
+        "q1_sortmerge_salted": q1_sortmerge_salted,
         "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
+        "q2_tolerance_2500m": q2_tolerance_2500m,
         "q2_knn3_per_level": q2_knn3_per_level,
         "q3_rect_probe_join": q3_rect_probe_join,
         "q3_line_probe_join": q3_line_probe_join,
@@ -1104,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_tile_stats": q5_tile_stats,
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
+        "media_image_decode": media_image_decode,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
         "top_docs_by_quality": top_docs_by_quality,
@@ -1141,6 +1225,14 @@ def oracle_sql() -> dict[str, str]:
         "greatest(r.x0, least(p.lng, r.x1))",
         "greatest(r.y0, least(p.lat, r.y1))",
     )
+    # bounded-tolerance oracle pieces: per-axis circle radii in degrees
+    # (the CreateSimpleCircle step-ladder with a=0.01 at 2.5 km) and the
+    # planar-nearest clamp distance, evaluated on the agg'd columns
+    tol_rb = haversine_sql("lng", "lat", "lng + 0.01", "lat")
+    tol_rc = haversine_sql("lng", "lat", "lng", "lat + 0.01")
+    tol_dist = haversine_sql("lng", "lat",
+                             "greatest(x0, least(lng, x1))",
+                             "greatest(y0, least(lat, y1))")
     q1_oracle = f"""
             WITH probes AS ({probes})
             SELECT DISTINCT p.point_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
@@ -1152,6 +1244,9 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "q1_point_region_join": q1_oracle,
+        # the non-broadcast (sort-merge + salted) leg must produce the
+        # EXACT same hit-set as the broadcast leg
+        "q1_sortmerge_salted": q1_oracle,
         # the streaming face must produce the EXACT same value set
         "stream_point_lookup_gate": q1_oracle,
         "q2_nearest_region_tolerance": f"""
@@ -1159,6 +1254,64 @@ def oracle_sql() -> dict[str, str]:
             cand AS (
                 SELECT p.point_id, r.ord, r.code, r.deep, {hav} AS dist_m
                 FROM probes p CROSS JOIN {regions}
+            ),
+            feat AS (
+                SELECT point_id, ord, code, deep, min(dist_m) AS dist_m
+                FROM cand GROUP BY point_id, ord, code, deep
+            ),
+            win AS (
+                SELECT point_id, code, deep, dist_m,
+                       row_number() OVER (PARTITION BY point_id, deep
+                                          ORDER BY dist_m, ord) AS rn
+                FROM feat
+            )
+            SELECT point_id, code AS region_code, CAST(deep AS BIGINT) AS deep,
+                   round(dist_m, 2) AS dist_m
+            FROM win WHERE rn = 1
+        """,
+        "q2_tolerance_2500m": f"""
+            WITH probes AS ({miss}),
+            prad AS (
+                SELECT point_id, lng, lat,
+                       2500.0 / ({tol_rb}) * 0.01 AS rb,
+                       2500.0 / ({tol_rc}) * 0.01 AS rc
+                FROM probes
+            ),
+            vert AS (
+                -- the 24 circle vertices + each one's successor (wraps)
+                SELECT p.point_id, p.lng, p.lat,
+                       p.lng + p.rb * cos(i * pi() / 12) AS vx,
+                       p.lat + p.rc * sin(i * pi() / 12) AS vy,
+                       p.lng + p.rb * cos(((i + 1) % 24) * pi() / 12) AS wx,
+                       p.lat + p.rc * sin(((i + 1) % 24) * pi() / 12) AS wy
+                FROM prad p CROSS JOIN range(0, 24) t(i)
+            ),
+            clipped AS (
+                -- y-samples of (24-gon ∩ half-plane x >= part west edge):
+                -- vertices east of the clip line plus edge crossings of it
+                -- (the hole is unreachable at 2.5 km from any miss probe)
+                SELECT v.point_id, r.ord, r.code, r.deep,
+                       r.x0, r.x1, r.y0, r.y1, v.lng, v.lat,
+                       CASE WHEN v.vx >= r.x0 THEN v.vy END AS y_v,
+                       CASE WHEN (v.vx - r.x0) * (v.wx - r.x0) < 0
+                            THEN v.vy + (v.wy - v.vy)
+                                 * ((r.x0 - v.vx) / (v.wx - v.vx)) END AS y_c
+                FROM vert v CROSS JOIN {regions}
+            ),
+            agg AS (
+                SELECT point_id, ord, code, deep, x0, x1, y0, y1, lng, lat,
+                       min(least(y_v, y_c)) AS ymin,
+                       max(greatest(y_v, y_c)) AS ymax,
+                       count(y_v) + count(y_c) AS n_pts
+                FROM clipped
+                GROUP BY point_id, ord, code, deep, x0, x1, y0, y1, lng, lat
+            ),
+            cand AS (
+                -- circle intersects the part <=> the clipped 24-gon's
+                -- y-range overlaps the part's slab
+                SELECT point_id, ord, code, deep, {tol_dist} AS dist_m
+                FROM agg
+                WHERE n_pts > 0 AND ymin <= y1 AND ymax >= y0
             ),
             feat AS (
                 SELECT point_id, ord, code, deep, min(dist_m) AS dist_m
@@ -1216,6 +1369,46 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN {regions}
               ON {_diamond_region_hit_sql()}
+        """,
+        "q5_tile_stats": f"""
+            WITH cells AS (
+                -- res-7 cells (2.8125°) around the region world, incl.
+                -- the closed-cover neighbours west of x=0 / south of y=0
+                SELECT -180.0 + ix * 2.8125 AS cx0, -90.0 + iy * 2.8125 AS cy0,
+                       -180.0 + (ix + 1) * 2.8125 AS cx1, -90.0 + (iy + 1) * 2.8125 AS cy1,
+                       -180.0 + ix * 2.8125 + 1.40625 AS ctrx,
+                       -90.0 + iy * 2.8125 + 1.40625 AS ctry
+                FROM range(60, 82) t1(ix), range(28, 50) t2(iy)
+            ),
+            pc AS (
+                SELECT r.code, c.cx0, c.cy0,
+                       (   (c.cx0 <= r.x0 AND r.x0 <= c.cx1 AND r.y0 <= c.cy1 AND r.y1 >= c.cy0)
+                        OR (c.cx0 <= r.x1 AND r.x1 <= c.cx1 AND r.y0 <= c.cy1 AND r.y1 >= c.cy0)
+                        OR (c.cy0 <= r.y0 AND r.y0 <= c.cy1 AND r.x0 <= c.cx1 AND r.x1 >= c.cx0)
+                        OR (c.cy0 <= r.y1 AND r.y1 <= c.cy1 AND r.x0 <= c.cx1 AND r.x1 >= c.cx0)
+                        OR (r.hx0 IS NOT NULL AND (
+                               (c.cx0 <= r.hx0 AND r.hx0 <= c.cx1 AND r.hy0 <= c.cy1 AND r.hy1 >= c.cy0)
+                            OR (c.cx0 <= r.hx1 AND r.hx1 <= c.cx1 AND r.hy0 <= c.cy1 AND r.hy1 >= c.cy0)
+                            OR (c.cy0 <= r.hy0 AND r.hy0 <= c.cy1 AND r.hx0 <= c.cx1 AND r.hx1 >= c.cx0)
+                            OR (c.cy0 <= r.hy1 AND r.hy1 <= c.cy1 AND r.hx0 <= c.cx1 AND r.hx1 >= c.cx0)))
+                       ) AS touched,
+                       (c.ctrx > r.x0 AND c.ctrx < r.x1
+                        AND c.ctry > r.y0 AND c.ctry < r.y1
+                        AND NOT (r.hx0 IS NOT NULL
+                                 AND c.ctrx > r.hx0 AND c.ctrx < r.hx1
+                                 AND c.ctry > r.hy0 AND c.ctry < r.hy1)) AS inside
+                FROM cells c CROSS JOIN {regions}
+            ),
+            percell AS (
+                SELECT code, cx0, cy0,
+                       bool_or(touched) AS t, bool_or(inside) AS i
+                FROM pc GROUP BY code, cx0, cy0
+            )
+            SELECT code AS region_code,
+                   CAST(sum(CASE WHEN t OR i THEN 1 ELSE 0 END) AS BIGINT) AS n_tiles,
+                   CAST(sum(CASE WHEN (NOT t) AND i THEN 1 ELSE 0 END) AS BIGINT) AS n_interior
+            FROM percell GROUP BY code
+            HAVING sum(CASE WHEN t OR i THEN 1 ELSE 0 END) > 0
         """,
         "q4_attribute_scan": f"""
             SELECT DISTINCT code AS region_code, CAST(deep AS BIGINT) AS deep,
@@ -1405,6 +1598,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind,
                    round(CAST(s AS DOUBLE) / 65535, 4) AS feature_q
             FROM u
+        """,
+        "media_image_decode": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://img/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            px AS (
+                -- pixel k (row-major, 6x10=60 px) = byte (k mod 32) of
+                -- sha256(ref); weight (k+1) mirrors the decoder's
+                -- position-weighted checksum
+                SELECT doc_id,
+                       CAST(sum(CAST(('0x' || substr(sha256(ref), 2*(k%32)+1, 2))
+                                AS BIGINT)) AS BIGINT) AS px_sum,
+                       CAST(sum(CAST(('0x' || substr(sha256(ref), 2*(k%32)+1, 2))
+                                AS BIGINT) * (k + 1)) AS BIGINT) AS px_poshash
+                FROM d CROSS JOIN range(0, 60) t(k)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(6 AS BIGINT) AS width,
+                   CAST(10 AS BIGINT) AS height, px_sum, px_poshash
+            FROM px
         """,
         "raster_coverage": f"""
             WITH cells AS (

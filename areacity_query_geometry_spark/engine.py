@@ -344,7 +344,14 @@ class SpatialEngine:
         if where:
             keep = self.boundaries.filter(where).select("region_id")
             t = t.join(F.broadcast(keep), "region_id", "left_semi")
-        return F.broadcast(t) if (hint and self.broadcast_tiles) else t
+        if not hint:
+            return t
+        if self.broadcast_tiles:
+            return F.broadcast(t)
+        # broadcast explicitly disabled (tile set past the threshold):
+        # pin the shuffle strategy so a mis-estimated size statistic
+        # can't sneak a 3M+-row tile table into a broadcast build
+        return t.hint("shuffle_merge")
 
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",

@@ -2,24 +2,33 @@
 
 Image/audio/video payloads are opaque references (`media_ref`) or
 binary columns; decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` stages. The real decoders (PIL / torchaudio
-/ av) are NOT present in this container, so the decode step is STUBBED:
-`decode_media` raises NotImplementedError unless `fake=True`, in which
-case it produces a deterministic hash-derived feature vector — the
-Spark-side plumbing (schema, batching, partitioning, UDF signature) is
-real and tested either way.
+Arrow-batched `mapInPandas` stages.
+
+Decode paths:
+- BINARY image columns: a REAL byte decoder — `decode_bmp_gray8` parses
+  8-bit grayscale BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + palette,
+  4-byte row padding, bottom-up row order) in pure numpy; the Spark
+  stage `decode_image_bmp` runs it Arrow-batched. `encode_bmp_gray8`
+  writes the same container, so pipelines can round-trip synthetic
+  images without PIL.
+- ref-only spans (compressed formats, remote blobs): the decoders (PIL
+  / torchaudio / av) are NOT in this container, so `decode_media`
+  raises NotImplementedError unless `fake=True`, which produces a
+  deterministic hash-derived feature vector — the Spark-side plumbing
+  (schema, batching, partitioning, UDF signature) is real either way.
 """
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_FEATURE_SCHEMA = StructType([
@@ -51,6 +60,112 @@ def _fake_feature(media_ref: str) -> np.ndarray:
     h = hashlib.sha256(media_ref.encode()).digest()
     raw = np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
     return raw / 65535.0
+
+
+# ------------------------------------------------------------- BMP codec
+# Real byte-level image container handling in pure numpy (no PIL): 8-bit
+# grayscale BMP with a 256-entry palette, 4-byte-padded rows, bottom-up
+# row order — enough to prove the decode stage on actual image bytes.
+
+_BMP_PALETTE = bytes(bytearray(v for i in range(256) for v in (i, i, i, 0)))
+
+
+def encode_bmp_gray8(px: np.ndarray) -> bytes:
+    """(h, w) uint8 array → 8-bit grayscale BMP bytes."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    row_size = (w + 3) & ~3
+    img_size = row_size * h
+    off = 14 + 40 + 256 * 4
+    file_header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                              img_size, 2835, 2835, 256, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, :w] = px[::-1]  # BMP stores rows bottom-up
+    return file_header + info_header + _BMP_PALETTE + rows.tobytes()
+
+
+def decode_bmp_gray8(data: bytes) -> np.ndarray:
+    """8-bit BMP bytes → (h, w) uint8 array (top-down row order)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack_from("<I", data, 10)
+    _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 8:
+        raise ValueError(f"only 8-bit grayscale BMP supported, got bpp={bpp}")
+    row_size = (w + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, offset=off,
+                        count=row_size * abs(h)).reshape(abs(h), row_size)[:, :w]
+    if h > 0:  # positive height = bottom-up: flip back to top-down
+        arr = arr[::-1]
+    return arr.copy()
+
+
+IMAGE_BYTES_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("img", BinaryType()),
+])
+
+
+def synthesize_bmp(spans: DataFrame, ref_col: str = "ref",
+                   w: int = 6, h: int = 10) -> DataFrame:
+    """Blob-fetch stand-in: materialize each span's image as REAL BMP
+    bytes in a binary column. Pixels derive deterministically from
+    sha256(ref) (digest repeated row-major), so an independent oracle
+    can recompute any pixel statistic without parsing BMP."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            imgs = []
+            for ref in pdf[ref_col]:
+                d = hashlib.sha256(ref.encode()).digest()
+                reps = (w * h + len(d) - 1) // len(d)
+                px = np.frombuffer((d * reps)[: w * h], dtype=np.uint8)
+                imgs.append(encode_bmp_gray8(px.reshape(h, w)))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["img"] = imgs
+            yield out
+
+    return spans.mapInPandas(fn, IMAGE_BYTES_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("px_poshash", LongType()),
+])
+
+
+def decode_image_bmp(imgs: DataFrame, bytes_col: str = "img") -> DataFrame:
+    """REAL image decode stage: parse each row's BMP bytes (header,
+    padding, bottom-up flip) and emit pixel statistics. px_poshash is
+    position-weighted (Σ px[k]·(k+1) over row-major k), so a decoder
+    that mangled row order or padding CANNOT match the oracle even
+    though px_sum would."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, poss = [], [], [], []
+            for b in pdf[bytes_col]:
+                px = decode_bmp_gray8(bytes(b))
+                hh, ww = px.shape
+                flat = px.astype(np.int64).ravel()
+                ws.append(ww)
+                hs.append(hh)
+                sums.append(int(flat.sum()))
+                poss.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["width"] = pd.Series(ws, dtype="int64")
+            out["height"] = pd.Series(hs, dtype="int64")
+            out["px_sum"] = pd.Series(sums, dtype="int64")
+            out["px_poshash"] = pd.Series(poss, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(fn, IMAGE_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType([
