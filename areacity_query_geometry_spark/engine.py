@@ -569,15 +569,21 @@ class SpatialEngine:
 
         counted = cand.select(*id_list, "region_id", "kind", "tile_wkb") \
                       .mapInPandas(npts_fn, schema)
-        # exact reference string surgery: '{"_PolygonPointNum_": N,' + prop[1:]
+        # reference string surgery: '{"_PolygonPointNum_": N,' + prop[1:]
+        # — guarded for prop-less features: NULL props coalesce to '{}'
+        # and an empty object drops the trailing comma so the output is
+        # always valid JSON (the reference's raw substring(1) would emit
+        # '{..., }' / NULL there)
+        prefix = F.concat(F.lit('{"_PolygonPointNum_": '),
+                          F.col("n_points").cast("string"))
+        rest = F.expr("substring(coalesce(prop_json, '{}'), 2)")
         return counted.join(
             F.broadcast(self.boundaries.select("region_id", "prop_json")),
             "region_id",
         ).withColumn(
             "prop_json",
-            F.concat(F.lit('{"_PolygonPointNum_": '),
-                     F.col("n_points").cast("string"), F.lit(","),
-                     F.expr("substring(prop_json, 2)")),
+            F.when(rest == "}", F.concat(prefix, F.lit("}")))
+             .otherwise(F.concat(prefix, F.lit(","), rest)),
         )
 
     def query_points_envelope_hits(

@@ -12,48 +12,51 @@ Layout:
     <path>/_meta.json    {grid_version, base_res, max_res, seg_budget,
                           n_features, n_tiles}
 
-(If an Iceberg catalog is configured, swap the parquet writes for
-`writeTo(...).createOrReplace()` — semantics identical; this container
-ships no Iceberg runtime jar, so the store is plain parquet with the
-same snapshot-style validation.)
+The physical table format is pluggable (store_format.StoreFormat): the
+default is parquet + JSON sidecar; an Iceberg catalog swaps in via ONE
+constructor argument (`fmt=IcebergStoreFormat(spark, "lake")`) with no
+engine changes — this container ships no Iceberg runtime jar, so the
+default stays parquet with the same snapshot-style validation (the
+limitation and the swap point are documented in README/SCALE.md).
 """
 from __future__ import annotations
-
-import json
-import os
 
 from pyspark.sql import SparkSession
 
 from .. import GRID_VERSION, tiler
 from ..engine import SpatialEngine
 from . import geojson_source
+from .store_format import IcebergStoreFormat, ParquetStoreFormat, StoreFormat
+
+__all__ = [
+    "save", "available", "load", "save_bucketed", "load_bucketed",
+    "load_or_build", "StoreFormat", "ParquetStoreFormat",
+    "IcebergStoreFormat",
+]
+
+_DEFAULT_FMT = ParquetStoreFormat()
 
 
-def save(engine: SpatialEngine, path: str, params: dict) -> None:
-    engine.boundaries.write.mode("overwrite").parquet(os.path.join(path, "boundaries"))
-    (engine.tiles.repartition("cell_id")
-        .sortWithinPartitions("cell_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "tiles")))
+def save(engine: SpatialEngine, path: str, params: dict,
+         fmt: StoreFormat | None = None) -> None:
+    fmt = fmt or _DEFAULT_FMT
+    fmt.write_boundaries(engine.boundaries, path)
+    fmt.write_tiles(engine.tiles, path)
     meta = {
         "grid_version": GRID_VERSION,
         "n_features": engine.boundaries.count(),
         "n_tiles": engine.tiles.count(),
         **params,
     }
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    fmt.write_meta(engine.spark, path, meta)
 
 
-def available(path: str, base_res: int, max_res: int, seg_budget: int) -> bool:
+def available(path: str, base_res: int, max_res: int, seg_budget: int,
+              fmt: StoreFormat | None = None,
+              spark: SparkSession | None = None) -> bool:
     """The AvailableWkbsFile analog: metadata must match exactly."""
-    meta_path = os.path.join(path, "_meta.json")
-    if not os.path.exists(meta_path):
-        return False
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, json.JSONDecodeError):
+    meta = (fmt or _DEFAULT_FMT).read_meta(spark, path)
+    if meta is None:
         return False
     return (
         meta.get("grid_version") == GRID_VERSION
@@ -63,11 +66,14 @@ def available(path: str, base_res: int, max_res: int, seg_budget: int) -> bool:
     )
 
 
-def load(spark: SparkSession, path: str) -> SpatialEngine:
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
-    boundaries = spark.read.parquet(os.path.join(path, "boundaries")).cache()
-    tiles = spark.read.parquet(os.path.join(path, "tiles")).cache()
+def load(spark: SparkSession, path: str,
+         fmt: StoreFormat | None = None) -> SpatialEngine:
+    fmt = fmt or _DEFAULT_FMT
+    meta = fmt.read_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(f"no valid store metadata at {path}")
+    boundaries = fmt.read_boundaries(spark, path).cache()
+    tiles = fmt.read_tiles(spark, path).cache()
     eng = SpatialEngine(
         spark, boundaries, tiles, base_res=meta["base_res"],
         broadcast_tiles=meta["n_tiles"] < 3_000_000,

@@ -9,12 +9,13 @@ import pytest
 from areacity_query_geometry_spark.geom import predicates
 
 
-def _batch_vs_scalar(ring, rects):
+def _batch_vs_scalar(ring, rects, **kw):
     minxs = np.array([r[0] for r in rects])
     minys = np.array([r[1] for r in rects])
     maxxs = np.array([r[2] for r in rects])
     maxys = np.array([r[3] for r in rects])
-    vx, vy, offs = predicates.clip_ring_to_rects(ring, minxs, minys, maxxs, maxys)
+    vx, vy, offs = predicates.clip_ring_to_rects(
+        ring, minxs, minys, maxxs, maxys, **kw)
     for k, (x0, y0, x1, y1) in enumerate(rects):
         scalar = predicates.clip_ring_to_rect(ring, x0, y0, x1, y1)
         s, e = int(offs[k]), int(offs[k + 1])
@@ -68,6 +69,24 @@ class TestClipBatchEquivalence:
             (0, 0, 10, 0.0),       # zero-height rect
         ]
         _batch_vs_scalar(ring, rects)
+
+    def test_chunked_path_bit_for_bit(self):
+        # force the per-chunk concat/offset reassembly (chunk_elems far
+        # below the 4M default) so chunk-boundary stitching is asserted
+        # bit-for-bit too, across random AND grid-aligned inputs
+        rng = np.random.default_rng(11)
+        ring = _close(rng.uniform(-10, 10, size=(23, 2)))
+        rects = []
+        for _ in range(40):
+            x0, y0 = rng.uniform(-12, 10, size=2)
+            w, h = rng.uniform(0.1, 8, size=2)
+            rects.append((x0, y0, x0 + w, y0 + h))
+        for chunk in (16, 64, 257):
+            _batch_vs_scalar(ring, rects, chunk_elems=chunk)
+        grid_ring = _close([(0, 0), (4, 0), (4, 4), (0, 4)])
+        grid_rects = [(i / 2, j / 2, i / 2 + 2, j / 2 + 2)
+                      for i in range(-2, 10) for j in range(-2, 10)]
+        _batch_vs_scalar(grid_ring, grid_rects, chunk_elems=64)
 
     def test_concave_and_spike(self):
         ring = _close([(0, 0), (8, 0), (8, 6), (4, 2), (0, 6)])  # concave

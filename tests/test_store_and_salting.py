@@ -121,3 +121,24 @@ class TestShuffleGeometryProbe:
         got = sorted((r.probe_id, r.region_id) for r in
                      smj.query_geometry(probes, with_props=False).collect())
         assert got == want
+
+
+def test_store_format_seam(spark, tmp_path):
+    """The StoreFormat abstraction: parquet round-trips through the
+    interface; the Iceberg impl refuses construction without a catalog
+    (this container has no Iceberg jar — the swap point must fail
+    loudly, not mid-write)."""
+    import pytest
+
+    from areacity_query_geometry_spark.sources.store_format import (
+        IcebergStoreFormat, ParquetStoreFormat)
+
+    fmt = ParquetStoreFormat()
+    df = spark.createDataFrame([(1, "a")], "cell_id long, v string")
+    store = str(tmp_path / "fmtstore")
+    fmt.write_tiles(df, store)
+    fmt.write_meta(spark, store, {"base_res": 7})
+    assert fmt.read_meta(spark, store) == {"base_res": 7}
+    assert fmt.read_tiles(spark, store).collect() == df.collect()
+    with pytest.raises(RuntimeError, match="no Spark catalog"):
+        IcebergStoreFormat(spark, "lake")

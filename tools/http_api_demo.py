@@ -40,14 +40,35 @@ class _Reg:
 ENGINES = _Reg()
 
 # big-WKT response cap (≙ AllowResponseBigWKT,
-# /root/reference/Test_HttpApiServer.java:38-39, enforced :220-241:
-# responses carrying >20MB of WKT are refused unless explicitly allowed)
-ALLOW_RESPONSE_BIG_WKT = False
-MAX_RESPONSE_BYTES = 20 * 1024 * 1024
+# /root/reference/Test_HttpApiServer.java:38-39, enforced :220-241).
+# Counts only the WKT payload bytes (like the reference), NOT the whole
+# envelope; both knobs are env-overridable at runtime so the cap can be
+# lifted/tightened without editing source.
+
+
+def _allow_big_wkt() -> bool:
+    return os.environ.get("AQGS_ALLOW_BIG_WKT", "0") == "1"
+
+
+def _max_wkt_bytes() -> int:
+    return int(os.environ.get("AQGS_MAX_WKT_BYTES", str(20 * 1024 * 1024)))
 
 
 def envelope(c: int, v, m: str = "") -> bytes:
     return json.dumps({"c": c, "v": v, "m": m}, ensure_ascii=False).encode()
+
+
+def _injected_wkt_bytes(rows: list[str], wkt_key: str) -> int:
+    """WKT payload size of prop_json rows carrying an injected
+    `"<key>": "<wkt>"` suffix (Set_ReturnWKTKey echo) — everything from
+    the key marker on is the WKT portion."""
+    marker = f'"{wkt_key}": "'
+    total = 0
+    for p in rows:
+        i = p.rfind(marker)
+        if i >= 0:
+            total += len(p[i + len(marker):].encode()) - 2  # strip `"}`
+    return total
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -86,6 +107,7 @@ class Handler(BaseHTTPRequestHandler):
                 if "extPath" in qs:
                     preds.append(filters.ext_path_where(qs["extPath"][0]))
                 where = " AND ".join(preds) if preds else None
+            wkt_bytes = 0
             if verb == "querypoint":
                 lng = float(qs["lng"][0])
                 lat = float(qs["lat"][0])
@@ -99,6 +121,8 @@ class Handler(BaseHTTPRequestHandler):
                     df = eng.query_points(pts, where=where,
                                           return_wkt_key=wkt_key)
                     rows = [r.prop_json for r in df.collect()]
+                if wkt_key:
+                    wkt_bytes = _injected_wkt_bytes(rows, wkt_key)
             elif verb == "querygeometry":
                 wkt_in = qs["wkt"][0]
                 # reject unparseable WKT with an error envelope (the
@@ -114,28 +138,32 @@ class Handler(BaseHTTPRequestHandler):
                     [(0, wkt_in)], "probe_id long, wkt string")
                 rows = [r.prop_json for r in eng.query_geometry(
                     probes, where=where, return_wkt_key=wkt_key).collect()]
+                if wkt_key:
+                    wkt_bytes = _injected_wkt_bytes(rows, wkt_key)
             elif verb == "readwkt":
                 rows = [
                     {"prop": r.prop_json, "wkt": r.wkt}
                     for r in eng.read_wkt_features(where=where).collect()
                 ]
+                wkt_bytes = sum(len(r["wkt"].encode()) for r in rows)
             elif verb == "debugreadgridsplits":
                 rows = [
                     {"name": r.name, "n_tiles": r.n_tiles, "wkt": r.tiles_wkt}
                     for r in eng.debug_tile_splits_wkt(where=where).collect()
                 ]
+                wkt_bytes = sum(len(r["wkt"].encode()) for r in rows)
             else:
                 self._send(envelope(404, None, f"unknown verb {verb}"), 404)
                 return
-            body = envelope(200, {"list": rows})
-            if not ALLOW_RESPONSE_BIG_WKT and len(body) > MAX_RESPONSE_BYTES:
+            cap = _max_wkt_bytes()
+            if not _allow_big_wkt() and wkt_bytes > cap:
                 self._send(envelope(
                     500, None,
-                    f"matched {len(rows)} rows but the response exceeds the "
-                    "20M WKT limit; set ALLOW_RESPONSE_BIG_WKT=True to lift "
-                    "it"), 500)
+                    f"matched {len(rows)} rows but their WKT payload "
+                    f"({wkt_bytes} bytes) exceeds the {cap}-byte limit; set "
+                    "AQGS_ALLOW_BIG_WKT=1 to lift it"), 500)
                 return
-            self._send(body)
+            self._send(envelope(200, {"list": rows}))
         except Exception as e:  # envelope the error like the reference does
             self._send(envelope(500, None, f"{type(e).__name__}: {e}"), 500)
 
