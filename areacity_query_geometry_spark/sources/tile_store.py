@@ -119,14 +119,22 @@ def load_or_build(
 ) -> SpatialEngine:
     """Init_* analog with autoUseExistsWkbsFile=True
     (AreaCityQuery.java:663-669): reuse the persisted store when its
-    parameters match, else rebuild and persist."""
+    parameters match, else rebuild and persist. Like the reference's
+    `dataFilePath` (`*.wkbs` | `*.json`, AreaCityQuery.java:509-511),
+    the data file may be either line-delimited GeoJSON or an existing
+    reference `.wkbs` cache (sources/wkbs_source.py on-boarding)."""
     from .. import grid
 
     if max_res is None:
         max_res = min(grid.MAX_RES, base_res + 4)
     if available(store_path, base_res, max_res, seg_budget):
         return load(spark, store_path)
-    boundaries = geojson_source.read_boundaries(spark, geojson_path).cache()
+    if geojson_path.endswith(".wkbs"):
+        from . import wkbs_source
+
+        boundaries = wkbs_source.read_boundaries(spark, geojson_path).cache()
+    else:
+        boundaries = geojson_source.read_boundaries(spark, geojson_path).cache()
     tiles = tiler.build_tiles(boundaries, base_res, max_res, seg_budget).cache()
     n_tiles = tiles.count()
     engine = SpatialEngine(spark, boundaries, tiles, base_res,

@@ -1,0 +1,148 @@
+"""`.wkbs` structured-file interop — on-boarding for existing caches.
+
+The reference persists its parsed boundary set as a line-oriented
+`.wkbs` file (/root/reference/AreaCityQuery.java:734-1080): a comment
+header carrying `@Version` / `@GridFactor`, then one record per line
+
+    <Type>|Pos:<line>:<parentPos>:<subPos>|Prop:<json>|WKB:<HEX>
+
+with Type ∈ {Full, Parent, Sub, Empty} (Full = unsplit feature,
+Parent = full geometry of a grid-split feature, Sub = one split piece,
+Empty = empty geometry), closed by a `]` end marker
+(AvailableWkbsFile, :1100-1120).
+
+Migration semantics here: a user's existing `.wkbs` cache loads as a
+BOUNDARIES DataFrame — we take the full feature geometries
+(Full/Parent/Empty records, skipping the reference's pre-split Sub
+pieces) and re-tile them with this engine's own grid, because the
+reference's envelope-bisection split and our quadtree cell grid are
+different physical indexes over the same logical features. The writer
+exports the reference's exact layout (uppercase hex, byte-offset Pos
+fields, `]` terminator) so reference tooling can read stores built
+here.
+"""
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..geom import core, wkb as wkb_codec
+from .geojson_source import BOUNDARY_SCHEMA
+
+_REC = re.compile(r"^(Full|Parent|Empty)\|Pos:([^|]*)\|Prop:(.*)\|WKB:([0-9A-Fa-f]*)$")
+
+
+def read_meta(path: str) -> dict:
+    """Header metadata (@Version / @GridFactor) + end-marker validity —
+    the AvailableWkbsFile analog for foreign files."""
+    meta: dict = {"valid_end": False}
+    with open(path, "rb") as f:
+        head = f.read(8 * 1024).decode("utf-8", "replace")
+        for key, name in (("@Version: ", "version"),
+                          ("@GridFactor: ", "grid_factor")):
+            i = head.find(key)
+            if i >= 0:
+                meta[name] = head[i + len(key):].split("\n", 1)[0].strip()
+        f.seek(-1, 2)
+        meta["valid_end"] = f.read(1) == b"]"
+    return meta
+
+
+def read_boundaries(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed `.wkbs` ingestion: spark.read.text line scan →
+    regex record filter → Arrow-batched prop/WKB parse. Returns the
+    engine's BOUNDARY_SCHEMA, ready for `tiler.build_tiles` (exactly
+    like the GeoJSON source, sources/geojson_source.py)."""
+    lines = spark.read.text(path)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for line in pdf["value"]:
+                m = _REC.match(line)
+                if not m:
+                    continue  # header/comment/Sub/end-marker lines
+                rtype, pos, prop_str, hexwkb = m.groups()
+                try:
+                    props = json.loads(prop_str)
+                except ValueError:
+                    props = {}
+                line_no = int(pos.split(":", 1)[0] or 0)
+                gwkb = None
+                if rtype != "Empty" and hexwkb:
+                    raw = bytes.fromhex(hexwkb)
+                    if not core.is_empty(wkb_codec.loads(raw)):
+                        # re-encode via our codec: JTS writes big-endian,
+                        # the engine's kernels assume our LE layout
+                        gwkb = wkb_codec.dumps(wkb_codec.loads(raw))
+                rows.append((
+                    line_no,
+                    str(props.get("id", line_no)),
+                    str(props.get("pid", "")),
+                    int(props.get("deep", 0)),
+                    str(props.get("name", "")),
+                    str(props.get("ext_path", props.get("ext_name", ""))),
+                    "",
+                    prop_str,
+                    gwkb,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BOUNDARY_SCHEMA.fields])
+
+    return lines.mapInPandas(parse, BOUNDARY_SCHEMA)
+
+
+def save_wkbs(boundaries: DataFrame, path: str, grid_factor: int = 1) -> None:
+    """Export a boundaries DataFrame in the reference's exact `.wkbs`
+    layout (version 1.0 header, uppercase hex, real byte-offset Pos
+    fields, `]` terminator) so reference-side tooling can consume
+    stores built by this engine. Driver-side writer: the output is a
+    single ordered file by format design (the reference seeks by byte
+    offset into it), so this is an export utility, not a hot path."""
+    rows = boundaries.select("region_id", "prop_json", "geom_wkb") \
+                     .orderBy("region_id").collect()
+    with open(path, "wb") as f:
+        n = [0]
+
+        def w(s: str) -> int:
+            b = s.encode("utf-8")
+            f.write(b)
+            start = n[0]
+            n[0] += len(b)
+            return start
+
+        w("/*******************"
+          "\nwkbs export (AreaCity-Query-Geometry compatible layout)"
+          "\n@Version: 1.0"
+          f"\n@GridFactor: {grid_factor}"
+          "\n*******************/"
+          "\n\n\"features\": [")
+        for r in rows:
+            prop = r["prop_json"] or "{}"
+            line_no = int(r["region_id"])
+            if r["geom_wkb"] is None:
+                empty_hex = wkb_codec.dumps(
+                    {"type": "Polygon", "rings": []}).hex().upper()
+                w(f"\nEmpty|Pos:{line_no}:0:0|Prop:{prop}|WKB:{empty_hex}")
+                continue
+            geom = wkb_codec.loads(bytes(r["geom_wkb"]))
+            parts = core.polygons_of(geom)
+            if len(parts) == 1:
+                pos = n[0] + 1  # +1 newline, like the reference
+                w(f"\nFull|Pos:{line_no}:{pos}:{pos}|Prop:{prop}"
+                  f"|WKB:{bytes(r['geom_wkb']).hex().upper()}")
+            else:
+                parent_pos = n[0] + 1
+                w(f"\nParent|Pos:{line_no}:{parent_pos}:{parent_pos}"
+                  f"|Prop:{prop}|WKB:{bytes(r['geom_wkb']).hex().upper()}")
+                for rings in parts:
+                    sub_pos = n[0] + 1
+                    sub_hex = wkb_codec.dumps(
+                        {"type": "Polygon", "rings": rings}).hex().upper()
+                    w(f"\nSub|Pos:{line_no}:{parent_pos}:{sub_pos}"
+                      f"|Prop:{prop}|WKB:{sub_hex}")
+        w("\n]")
