@@ -570,9 +570,12 @@ def region_doc_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("events",))
     eng = _engine(spark)
     probes = spark.sql(fixtures.point_probes_sql("events"))
-    # no .cache(): the hit-set plan is cheap and gates must not leave
-    # cached data behind in the shared bench/oracle session
-    hits = eng.query_points(probes).select("point_id", "deep")
+    # localCheckpoint (not .cache()): the hit-set feeds FOUR set-op
+    # branches, so it must materialize once — checkpoint blocks are
+    # reclaimed by the ContextCleaner when the DataFrame is GC'd,
+    # unlike a cached temp view that lingers in the shared session
+    hits = eng.query_points(probes).select("point_id", "deep") \
+        .localCheckpoint(eager=True)
     hits.createOrReplaceTempView("setop_hits")
     return spark.sql("""
         SELECT 'both' AS tag, point_id FROM (
@@ -620,6 +623,95 @@ def stream_point_lookup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_code"),
         F.col("deep").cast("long").alias("deep"),
     )
+
+
+def stream_window_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation over the STREAMING
+    engine join, VALUE-checked: event probes stream from a staged copy
+    of the events table plus one far-future sentinel row (inside P11,
+    max_ts + 3 h), through the stream→static cell-grid join, then
+    `withWatermark("ts", "2 hours")` + 1-hour windowed per-region
+    counts in append mode (streaming/point_stream.py). The sentinel
+    pushes the final watermark past every real window's end, so the
+    drained sink holds EXACTLY the batch group-by of the real rows
+    (the sentinel's own window stays open and never emits) — which is
+    what the DuckDB oracle computes. Fresh checkpoint per invocation;
+    epoch-hour output keeps the compare integer-typed."""
+    import shutil
+
+    from areacity_query_geometry_spark.streaming import point_stream
+
+    eng = _engine(spark)
+    stage = "/tmp/aqgs_stream_window_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    _register(spark, sf_dir, ("events",))
+    probes_sql = f"""
+        SELECT event_id AS point_id, ts,
+               CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events
+    """
+    main = spark.sql(probes_sql)
+    sentinel = spark.sql("""
+        SELECT CAST(-1 AS BIGINT) AS point_id,
+               max(ts) + INTERVAL 3 HOURS AS ts,
+               CAST(25.0 AS DOUBLE) AS lng, CAST(25.0 AS DOUBLE) AS lat
+        FROM events
+    """)
+    main.unionByName(sentinel).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{stage}/in")
+    stream = (spark.readStream
+              .schema("point_id long, ts timestamp, lng double, lat double")
+              .parquet(f"{stage}/in"))
+    out = point_stream.stream_region_window_counts(
+        eng, stream, window_dur="1 hour", watermark_delay="2 hours")
+    tbl = "stream_window_gate"
+    spark.catalog.dropTempView(tbl)
+    q = (out.select("win.start", "region_id", "count")
+         .writeStream.format("memory").queryName(tbl)
+         .outputMode("append")
+         .option("checkpointLocation", f"{stage}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(tbl).join(
+        F.broadcast(eng.boundaries.select(
+            "region_id", F.col("id").alias("region_code"))),
+        "region_id",
+    ).select(
+        (F.unix_timestamp("start") / 3600).cast("long").alias("epoch_hour"),
+        "region_code",
+        F.col("count").cast("long").alias("n"),
+    )
+
+
+def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    exact dedup, streaming/dedup_stream.py) VALUE-checked against the
+    batch semantics: the documents table streams through
+    `stream_dedup_exact` (state = one record per fingerprint; first
+    doc_id wins, lexicographic within a batch) and the drained output
+    must equal DuckDB's `min(varchar doc_id) GROUP BY fingerprint`."""
+    import shutil
+
+    from areacity_query_geometry_spark.streaming import dedup_stream
+
+    stage = "/tmp/aqgs_stream_dedup_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    ev_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(ev_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    docs = stream.selectExpr("CAST(doc_id AS STRING) AS doc_id",
+                             "md5(lower(text)) AS fp")
+    out = dedup_stream.stream_dedup_exact(docs)
+    tbl = "stream_dedup_gate"
+    spark.catalog.dropTempView(tbl)
+    q = (out.writeStream.format("memory").queryName(tbl)
+         .outputMode("append")
+         .option("checkpointLocation", f"{stage}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(tbl).select("fp", "doc_id")
 
 
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,22 +865,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard at 10^9-doc corpora. Capped-out shingles leave the numerator
     only (counts n keep the full universe), mirrored in the oracle."""
     _register(spark, sf_dir, ("documents",))
+    # materialize the shingle-hash table ONCE (counts + groups both
+    # read it; without this the split/hash pipeline runs twice)
+    sh = spark.sql("""
+        WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               explode(array_distinct(transform(
+                   sequence(0, size(w) - 3),
+                   i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2]))
+               ))) AS gh
+        FROM words WHERE size(w) >= 3
+    """).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("ngram_sh")
     return spark.sql("""
-        WITH words AS (
-            SELECT doc_id, split(text, ' ') AS w FROM documents
-        ),
-        sh AS (
-            SELECT doc_id,
-                   explode(array_distinct(transform(
-                       sequence(0, size(w) - 3),
-                       i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2]))
-                   ))) AS gh
-            FROM words WHERE size(w) >= 3
-        ),
-        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        WITH counts AS (SELECT doc_id, count(*) AS n FROM ngram_sh GROUP BY doc_id),
         grp AS (
             SELECT gh, sort_array(collect_list(doc_id)) AS ds
-            FROM sh GROUP BY gh
+            FROM ngram_sh GROUP BY gh
             HAVING count(*) BETWEEN 2 AND 20
         ),
         pairs0 AS (
@@ -915,25 +1008,40 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature distribution instead of n². (At 10^9+ docs you'd widen to
     a 64-bit simhash so band values don't saturate; the 16-bit width
     here is pinned by the oracle's exact-arithmetic budget.)"""
-    sig = simhash_signatures(spark, sf_dir)
+    # materialize the signatures ONCE (the view is referenced 5x below;
+    # checkpoint blocks are GC-reclaimed, unlike a lingering cache)
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     sig.createOrReplaceTempView("simhash_sigs")
     return spark.sql("""
-        WITH bands AS (
-            SELECT doc_id, simhash16, band,
-                   CASE band WHEN 0 THEN simhash16 & 63
-                             WHEN 1 THEN (simhash16 >> 6) & 31
-                             ELSE (simhash16 >> 11) & 31 END AS bval
-            FROM simhash_sigs
-            LATERAL VIEW explode(array(0, 1, 2)) t AS band
+        WITH u AS (SELECT simhash16 AS s FROM simhash_sigs GROUP BY simhash16),
+        bands AS (
+            -- band the DISTINCT signatures (≤ 2^16 of them no matter
+            -- the corpus size), not the docs: the band join's cost is
+            -- bounded by the signature space, and doc fan-out happens
+            -- only for signature pairs that already verified
+            SELECT s, band,
+                   CASE band WHEN 0 THEN s & 63
+                             WHEN 1 THEN (s >> 6) & 31
+                             ELSE (s >> 11) & 31 END AS bval
+            FROM u LATERAL VIEW explode(array(0, 1, 2)) t AS band
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS d1, a.simhash16 AS s1,
-                            b.doc_id AS d2, b.simhash16 AS s2
+            SELECT DISTINCT a.s AS s1, b.s AS s2
             FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+              ON a.band = b.band AND a.bval = b.bval AND a.s < b.s
+            WHERE bit_count(a.s ^ b.s) <= 2
         )
-        SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(s1 ^ s2) <= 2
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(0 AS BIGINT) AS hamming
+        FROM simhash_sigs a JOIN simhash_sigs b
+          ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id) AS d1,
+               greatest(a.doc_id, b.doc_id) AS d2,
+               CAST(bit_count(c.s1 ^ c.s2) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN simhash_sigs a ON a.simhash16 = c.s1
+        JOIN simhash_sigs b ON b.simhash16 = c.s2
     """)
 
 
@@ -1138,6 +1246,49 @@ def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    candidate-pair graph (the step every real dedup pipeline runs after
+    pair generation — pairs alone don't dedup; transitive groups do).
+
+    Spark shape: iterative min-label propagation — labels start as
+    doc_id, each round joins labels to the (bidirectional) edge list,
+    takes min(neighbor label, own label), and stops when a round
+    changes nothing. Each round is ONE keyed shuffle; localCheckpoint
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1 (the practical large-scale CC recipe; rounds needed =
+    graph diameter, single digits for near-dup clusters). The DuckDB
+    oracle computes the same fixpoint with a recursive CTE. Output:
+    every document with its cluster representative (min doc_id in its
+    component — singletons map to themselves) and the component size."""
+    pairs = minhash_lsh_near_dup(spark, sf_dir).select("d1", "d2")
+    docs = spark.sql("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents")
+    edges = pairs.selectExpr("d1 AS a", "d2 AS b") \
+        .unionByName(pairs.selectExpr("d2 AS a", "d1 AS b")) \
+        .localCheckpoint(eager=True)
+    labels = docs.selectExpr("doc_id", "doc_id AS label") \
+        .localCheckpoint(eager=True)
+    while True:
+        neigh = (edges.join(labels, edges.a == labels.doc_id)
+                 .groupBy(F.col("b").alias("doc_id"))
+                 .agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, "doc_id", "left")
+               .select("doc_id",
+                       F.least("label", F.coalesce("nlabel", "label"))
+                        .alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("label").cast("long").alias("cluster_id"),
+                    F.col("cluster_size").cast("long").alias("cluster_size")))
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbours for query vectors vec_id < 8."""
     _register(spark, sf_dir, ("embeddings",))
@@ -1193,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_quality": top_docs_by_quality,
         "region_doc_set_ops": region_doc_set_ops,
         "stream_point_lookup_gate": stream_point_lookup_gate,
+        "stream_window_counts_gate": stream_window_counts_gate,
+        "stream_dedup_gate": stream_dedup_gate,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
@@ -1205,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "minhash_lsh_near_dup": minhash_lsh_near_dup,
+        "dedup_cluster_cc": dedup_cluster_cc,
         "simhash_signatures": simhash_signatures,
         "simhash_near_dup": simhash_near_dup,
         "embedding_topk_cosine": embedding_topk_cosine,
@@ -1242,6 +1396,51 @@ def oracle_sql() -> dict[str, str]:
              AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
                       AND p.lat > r.hy0 AND p.lat < r.hy1)
         """
+    minhash_oracle = f"""
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shingles AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+                FROM words WHERE len(w) >= 3
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_MH_P} AS h0
+                FROM shingles
+            ),
+            sig AS (
+                SELECT doc_id, i,
+                       min(((2 * i + 3) * h0 + 7 * i + 11) % {_MH_P}) AS mh
+                FROM h CROSS JOIN {_I16}
+                GROUP BY doc_id, i
+            ),
+            bands AS (
+                SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
+                       array_to_string(list_sort(list(
+                           CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), '-') AS bsig
+                FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INT)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            verified AS (
+                SELECT c.d1, c.d2, count(*) AS shared
+                FROM cand c
+                JOIN shingles s1 ON s1.doc_id = c.d1
+                JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+                GROUP BY c.d1, c.d2
+            )
+            SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
+                   round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
+            FROM verified v
+            JOIN counts c1 ON v.d1 = c1.doc_id
+            JOIN counts c2 ON v.d2 = c2.doc_id
+            WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= 0.05
+    """
     return {
         "q1_point_region_join": q1_oracle,
         # the non-broadcast (sort-merge + salted) leg must produce the
@@ -1511,6 +1710,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT point_id FROM hits WHERE deep = 2
             )
         """,
+        "stream_window_counts_gate": f"""
+            WITH probes AS (
+                SELECT event_id AS point_id, ts,
+                       CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events
+            ),
+            j AS (
+                SELECT DISTINCT p.point_id, p.ts, r.code
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1
+                 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+            )
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+                   code AS region_code,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY 1, 2
+        """,
+        "stream_dedup_gate": """
+            SELECT md5(lower(text)) AS fp,
+                   min(CAST(doc_id AS VARCHAR)) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(text))
+        """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
@@ -1737,50 +1963,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts c2 ON p.d2 = c2.doc_id
             WHERE CAST(p.shared AS DOUBLE) / (c1.n + c2.n - p.shared) >= 0.08
         """,
-        "minhash_lsh_near_dup": f"""
-            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            shingles AS (
-                SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, len(w) - 1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-                FROM words WHERE len(w) >= 3
+        "minhash_lsh_near_dup": minhash_oracle,
+        "dedup_cluster_cc": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT d1, d2 FROM ({minhash_oracle})
             ),
-            h AS (
-                SELECT doc_id,
-                       CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_MH_P} AS h0
-                FROM shingles
+            edges AS (
+                SELECT d1 AS a, d2 AS b FROM pairs
+                UNION ALL
+                SELECT d2 AS a, d1 AS b FROM pairs
             ),
-            sig AS (
-                SELECT doc_id, i,
-                       min(((2 * i + 3) * h0 + 7 * i + 11) % {_MH_P}) AS mh
-                FROM h CROSS JOIN {_I16}
-                GROUP BY doc_id, i
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+            reach(a, b) AS (
+                SELECT doc_id, doc_id FROM docs
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             ),
-            bands AS (
-                SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
-                       array_to_string(list_sort(list(
-                           CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), '-') AS bsig
-                FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INT)
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-            ),
-            counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-            verified AS (
-                SELECT c.d1, c.d2, count(*) AS shared
-                FROM cand c
-                JOIN shingles s1 ON s1.doc_id = c.d1
-                JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-                GROUP BY c.d1, c.d2
+            comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+            sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
             )
-            SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
-                   round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
-            FROM verified v
-            JOIN counts c1 ON v.d1 = c1.doc_id
-            JOIN counts c2 ON v.d2 = c2.doc_id
-            WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= 0.05
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM comp c JOIN sizes s USING (cluster_id)
         """,
         "simhash_signatures": f"""
             WITH tokens AS (
