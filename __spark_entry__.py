@@ -94,6 +94,44 @@ def q1_sortmerge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q1_wkt_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with `Set_ReturnWKTKey` semantics (AreaCityQuery.java:277-289,
+    the HTTP `returnWKTKey` parameter): each hit's prop_json gains
+    `, "polygon_wkt": "<full feature WKT>"` via the reference's exact
+    string surgery. The oracle rebuilds the ENTIRE mutated prop_json —
+    fixture props are fully known and the q4 oracle already proves the
+    WKT text reconstruction — so the injected-string format (comma,
+    space, key quoting) is hash-checked byte-for-byte. Probe subset
+    (point_id % 10 = 0) keeps the text volume sane."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    probes = spark.sql(fixtures.point_probes_sql("events")) \
+        .filter(F.expr("point_id % 10 = 0"))
+    out = eng.query_points(probes, return_wkt_key="polygon_wkt")
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("id").alias("region_code"),
+        F.col("prop_json"),
+    )
+
+
+def q1_where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with the reference's `where` predicate (the attribute filter
+    every verb accepts, AreaCityQuery.java:231-236): the engine prunes
+    the TILE side before the join (broadcast semi-join of matching
+    region_ids, `_tiles_for`), so non-matching regions never enter the
+    shuffle — the declarative analog of the reference evaluating
+    `where` before geometry deserialization."""
+    _register(spark, sf_dir, ("events",))
+    eng = _engine(spark)
+    probes = spark.sql(fixtures.point_probes_sql("events"))
+    out = eng.query_points(probes, where="deep = 2")
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("id").alias("region_code"),
+    )
+
+
 def q2_nearest_region_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("events",))
     eng = _engine(spark)
@@ -260,6 +298,47 @@ def q3_polygon_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("region_code"),
         F.col("deep").cast("long").alias("deep"),
     )
+
+
+def _wkt_recon_ctes(regions: str) -> str:
+    """CTE chain (DuckDB) rebuilding each region's exact JTS-style WKT
+    text from the region-part VALUES — terminates in `wkts(code, deep,
+    wkt)`. Shared by the q4_wkt_fetch and q1_wkt_echo oracles."""
+    return f"""
+            parts AS (SELECT * FROM {regions}),
+            ringed AS (
+                SELECT ord, code, deep, y0, x0,
+                       '(' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
+                       || ')' AS shell,
+                       CASE WHEN hx0 IS NOT NULL THEN
+                       ', (' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
+                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
+                       || ')' ELSE '' END AS holes
+                FROM parts
+            ),
+            polys AS (
+                SELECT ord, code, deep, y0, x0,
+                       '(' || shell || holes || ')' AS poly
+                FROM ringed
+            ),
+            wktagg AS (
+                SELECT ord, code, deep, count(*) AS np,
+                       string_agg(poly, ', ' ORDER BY y0, x0) AS body
+                FROM polys GROUP BY ord, code, deep
+            ),
+            wkts AS (
+                SELECT code, deep,
+                       CASE WHEN np = 1 THEN 'POLYGON ' || body
+                            ELSE 'MULTIPOLYGON (' || body || ')' END AS wkt
+                FROM wktagg
+            )"""
 
 
 def _diamond_region_hit_sql() -> str:
@@ -1327,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_point_region_join": q1_point_region_join,
         "q1_sortmerge_salted": q1_sortmerge_salted,
+        "q1_wkt_echo": q1_wkt_echo,
+        "q1_where_filter": q1_where_filter,
         "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
         "q2_tolerance_2500m": q2_tolerance_2500m,
         "q2_knn3_per_level": q2_knn3_per_level,
@@ -1467,6 +1548,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT point_id, code AS region_code, CAST(deep AS BIGINT) AS deep,
                    round(dist_m, 2) AS dist_m
             FROM win WHERE rn = 1
+        """,
+        "q1_where_filter": f"""
+            WITH probes AS ({probes})
+            SELECT DISTINCT p.point_id, r.code AS region_code
+            FROM probes p
+            JOIN {regions}
+              ON r.deep = 2
+             AND p.lng >= r.x0 AND p.lng <= r.x1
+             AND p.lat >= r.y0 AND p.lat <= r.y1
+             AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                      AND p.lat > r.hy0 AND p.lat < r.hy1)
         """,
         "q2_tolerance_2500m": f"""
             WITH probes AS ({miss}),
@@ -1616,40 +1708,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE deep >= 2 AND code LIKE 'D0%'
         """,
         "q4_wkt_fetch": f"""
-            WITH parts AS (SELECT * FROM {regions}),
-            ringed AS (
-                SELECT ord, code, deep, y0, x0,
-                       '(' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y0 AS BIGINT) AS VARCHAR)
-                       || ')' AS shell,
-                       CASE WHEN hx0 IS NOT NULL THEN
-                       ', (' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(hx1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy1 AS BIGINT) AS VARCHAR)
-                       || ', ' || CAST(CAST(hx0 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(hy0 AS BIGINT) AS VARCHAR)
-                       || ')' ELSE '' END AS holes
-                FROM parts
-            ),
-            polys AS (
-                SELECT ord, code, deep, y0, x0,
-                       '(' || shell || holes || ')' AS poly
-                FROM ringed
-            ),
-            agg AS (
-                SELECT ord, code, deep, count(*) AS np,
-                       string_agg(poly, ', ' ORDER BY y0, x0) AS body
-                FROM polys GROUP BY ord, code, deep
-            )
-            SELECT code AS region_code, CAST(deep AS BIGINT) AS deep,
-                   CASE WHEN np = 1 THEN 'POLYGON ' || body
-                        ELSE 'MULTIPOLYGON (' || body || ')' END AS wkt
-            FROM agg
+            WITH {_wkt_recon_ctes(regions)}
+            SELECT code AS region_code, CAST(deep AS BIGINT) AS deep, wkt
+            FROM wkts
             UNION ALL
             SELECT 'E1', CAST(3 AS BIGINT), 'EMPTY'
+        """,
+        "q1_wkt_echo": f"""
+            WITH probes AS ({probes}),
+            {_wkt_recon_ctes(regions)},
+            hits AS (
+                SELECT DISTINCT p.point_id, r.code
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1
+                 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+                WHERE p.point_id % 10 = 0
+            )
+            SELECT h.point_id, h.code AS region_code,
+                   '{{"id":"' || h.code || '","pid":"0","deep":"'
+                   || CAST(w.deep AS VARCHAR) || '","name":"' || h.code
+                   || '","ext_path":"' || h.code
+                   || '", "polygon_wkt": "' || w.wkt || '"}}' AS prop_json
+            FROM hits h JOIN wkts w ON w.code = h.code
         """,
         "doc_geo_join": f"""
             WITH probes AS ({probes})
