@@ -300,6 +300,75 @@ def q3_polygon_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_multiline_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with MULTILINESTRING probes — the reference accepts ANY WKT
+    type through `new WKTReader().read(...)`
+    (/root/reference/Test_HttpApiServer.java:117-137,
+    AreaCityQuery.java:175-179). A MultiLineString decomposes into
+    per-segment pkind-2 rows whose hit union IS the geometry's hit-set
+    (lines have no interior). Probe = the line fixture's segment plus a
+    copy shifted by (+0.5°, +6°) — dyadic, so the oracle's
+    orientation arithmetic stays exact."""
+    _register(spark, sf_dir, ("orders",))
+    eng = _engine(spark)
+    lines = spark.sql(fixtures.line_probes_sql("orders"))
+    probes = lines.select(
+        F.col("probe_id"),
+        F.concat(
+            F.lit("MULTILINESTRING (("),
+            F.col("x1"), F.lit(" "), F.col("y1"), F.lit(", "),
+            F.col("x2"), F.lit(" "), F.col("y2"), F.lit("), ("),
+            F.col("x1") + F.lit(0.5), F.lit(" "),
+            F.col("y1") + F.lit(6.0), F.lit(", "),
+            F.col("x2") + F.lit(0.5), F.lit(" "),
+            F.col("y2") + F.lit(6.0), F.lit("))"),
+        ).alias("wkt"),
+    )
+    out = eng.query_geometry(probes)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
+def q3_collection_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with GEOMETRYCOLLECTION probes (MULTIPOINT member + LINESTRING
+    member) — JTS `intersects` over a collection is the union of
+    per-member hits; the engine flattens the collection in the cover
+    stage (geom/core.py `flatten`). The MultiPoint member exercises the
+    degenerate-rect (pkind-1) path per point, including the open-hole
+    exclusion."""
+    _register(spark, sf_dir, ("orders",))
+    eng = _engine(spark)
+    lines = spark.sql(fixtures.line_probes_sql("orders"))
+    probes = lines.select(
+        F.col("probe_id"),
+        F.concat(
+            F.lit("GEOMETRYCOLLECTION (MULTIPOINT (("),
+            F.col("x1"), F.lit(" "), F.col("y2"), F.lit("), ("),
+            F.col("x2"), F.lit(" "), F.col("y1"), F.lit(")), LINESTRING ("),
+            F.col("x1"), F.lit(" "), F.col("y1"), F.lit(", "),
+            F.col("x2"), F.lit(" "), F.col("y2"), F.lit("))"),
+        ).alias("wkt"),
+    )
+    out = eng.query_geometry(probes)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("id").alias("region_code"),
+        F.col("deep").cast("long").alias("deep"),
+    )
+
+
+def _point_region_hit_sql(px: str, py: str) -> str:
+    """Point ({px},{py}) intersects region part r: closed rect minus
+    strictly-inside-open-hole (same rule as the q1 oracle)."""
+    return (f"(({px}) >= r.x0 AND ({px}) <= r.x1"
+            f" AND ({py}) >= r.y0 AND ({py}) <= r.y1"
+            f" AND NOT (r.hx0 IS NOT NULL AND ({px}) > r.hx0 AND ({px}) < r.hx1"
+            f" AND ({py}) > r.hy0 AND ({py}) < r.hy1))")
+
+
 def _wkt_recon_ctes(regions: str) -> str:
     """CTE chain (DuckDB) rebuilding each region's exact JTS-style WKT
     text from the region-part VALUES — terminates in `wkts(code, deep,
@@ -1414,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_rect_probe_join": q3_rect_probe_join,
         "q3_line_probe_join": q3_line_probe_join,
         "q3_polygon_probe_join": q3_polygon_probe_join,
+        "q3_multiline_probe_join": q3_multiline_probe_join,
+        "q3_collection_probe_join": q3_collection_probe_join,
         "q4_attribute_scan": q4_attribute_scan,
         "q4_wkt_fetch": q4_wkt_fetch,
         "q5_tile_stats": q5_tile_stats,
@@ -1660,6 +1731,28 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN {regions}
               ON {_diamond_region_hit_sql()}
+        """,
+        "q3_multiline_probe_join": f"""
+            WITH base AS ({fixtures.line_probes_sql("orders")}),
+            probes AS (
+                SELECT probe_id, x1, y1, x2, y2 FROM base
+                UNION ALL
+                SELECT probe_id, x1 + 0.5, y1 + 6.0, x2 + 0.5, y2 + 6.0
+                FROM base
+            )
+            SELECT DISTINCT p.probe_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+            FROM probes p
+            JOIN {regions}
+              ON {_line_region_hit_sql()}
+        """,
+        "q3_collection_probe_join": f"""
+            WITH probes AS ({fixtures.line_probes_sql("orders")})
+            SELECT DISTINCT p.probe_id, r.code AS region_code, CAST(r.deep AS BIGINT) AS deep
+            FROM probes p
+            JOIN {regions}
+              ON {_point_region_hit_sql("p.x1", "p.y2")}
+              OR {_point_region_hit_sql("p.x2", "p.y1")}
+              OR {_line_region_hit_sql()}
         """,
         "q5_tile_stats": f"""
             WITH cells AS (

@@ -582,7 +582,9 @@ class SpatialEngine:
             "region_id",
         ).withColumn(
             "prop_json",
-            F.when(rest == "}", F.concat(prefix, F.lit("}")))
+            # whitespace-tolerant empty-object test: '{ }' and '{}' both
+            # count as empty, so the output never ends '..., }'
+            F.when(F.trim(rest) == "}", F.concat(prefix, F.lit("}")))
              .otherwise(F.concat(prefix, F.lit(","), rest)),
         )
 
@@ -651,7 +653,9 @@ class SpatialEngine:
         pts = points.select(
             F.col("point_id"), F.col(lng).alias("lng"), F.col(lat).alias("lat")
         )
-        base = self._match_points(pts, where).cache()
+        # localCheckpoint (ContextCleaner-reclaimed), NOT .cache():
+        # gates must not leak cached state into the shared session
+        base = self._match_points(pts, where).localCheckpoint(eager=True)
         base_out = self._with_props(base).withColumn(
             "point_distance", F.lit(None).cast("double")
         ).withColumn("point_distance_id", F.lit(None).cast("long")) \
@@ -922,65 +926,112 @@ class SpatialEngine:
 
         def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # Probe classification: pkind 1 = axis-aligned rect or point
-            # (p0..p3 = bbox), pkind 2 = line SEGMENT (p0..p3 =
-            # endpoints; a multi-segment LineString decomposes into one
-            # row per segment — lines have no interior, so the union of
-            # per-segment hits IS the line's hit-set, and each segment's
-            # own bbox cover is far tighter than the whole line's),
-            # pkind 0 = general polygonal geometry (carries WKT to the
-            # exact pairwise fallback — polygons can't decompose this
-            # way because containment needs the interior). Kinds 1/2 run
-            # through columnar kernels and ship 4 doubles, never WKT.
+            # (p0..p3 = bbox; a MULTIPOINT is one degenerate rect per
+            # point), pkind 2 = line SEGMENT (p0..p3 = endpoints; every
+            # LineString / MultiLineString / polygon ring decomposes
+            # into one row per segment — each segment's own bbox cover
+            # is far tighter than the whole geometry's), pkind 3 = one
+            # containment row per polygonal member (carries WKT; catches
+            # tile⊂probe when no boundary crossing exists), pkind 0 =
+            # unrecognized shape (exact pairwise fallback).
+            # GEOMETRYCOLLECTION flattens into its members (JTS
+            # `intersects` over a collection = union of member hits;
+            # ≙ WKTReader-accepts-anything, AreaCityQuery.java:175-179).
+            # Kinds 1/2 run through columnar kernels and ship 4 doubles,
+            # never WKT. Segment extraction is numpy per ring/line
+            # (hstack of shifted views) and cell cover is ONE vectorized
+            # cover_bboxes call per Arrow batch — no per-segment Python.
             for pdf in it:
-                cols = {k: [] for k in ("probe_id", "p0", "p1", "p2",
-                                        "p3", "pkind", "wkt", "cell_id")}
+                r_pid: list[np.ndarray] = []
+                r_kind: list[np.ndarray] = []
+                r_p: list[np.ndarray] = []    # (k,4) p0..p3 payloads
+                r_wkt: list[np.ndarray] = []  # object, None for kinds 1/2
+                r_bb: list[np.ndarray] = []   # (k,4) cover bboxes
 
-                def emit(pid, pk, pvals, wout, cells):
-                    k = len(cells)
-                    cols["probe_id"].extend([pid] * k)
-                    cols["p0"].extend([pvals[0]] * k)
-                    cols["p1"].extend([pvals[1]] * k)
-                    cols["p2"].extend([pvals[2]] * k)
-                    cols["p3"].extend([pvals[3]] * k)
-                    cols["pkind"].extend([pk] * k)
-                    cols["wkt"].extend([wout] * k)
-                    cols["cell_id"].extend(cells.tolist())
+                def add(pid, pk, pvals, bb, wout=None):
+                    k = len(pvals)
+                    if k == 0:
+                        return
+                    r_pid.append(np.full(k, pid, dtype=np.int64))
+                    r_kind.append(np.full(k, pk, dtype=np.int64))
+                    r_p.append(np.asarray(pvals, dtype=np.float64))
+                    w_arr = np.empty(k, dtype=object)
+                    w_arr[:] = wout
+                    r_wkt.append(w_arr)
+                    r_bb.append(np.asarray(bb, dtype=np.float64))
+
+                def seg_rows(pid, lines):
+                    segs = [np.hstack([l[:-1], l[1:]])
+                            for l in lines if len(l) >= 2]
+                    if not segs:
+                        return
+                    sv = np.vstack(segs)
+                    bb = np.column_stack([
+                        np.minimum(sv[:, 0], sv[:, 2]),
+                        np.minimum(sv[:, 1], sv[:, 3]),
+                        np.maximum(sv[:, 0], sv[:, 2]),
+                        np.maximum(sv[:, 1], sv[:, 3])])
+                    add(pid, 2, sv, bb)
 
                 for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
-                    g = wkt_codec.loads(w_)
-                    if core.is_empty(g):
-                        continue
-                    b = core.bounds(g)
-                    if _probe_is_rect(g, b):
-                        emit(pid, 1, b, None, grid.cover_bbox(*b, base_res))
-                    elif g["type"] == "LineString":
-                        xy = g["xy"]
-                        for s in range(len(xy) - 1):
-                            x1, y1 = float(xy[s][0]), float(xy[s][1])
-                            x2, y2 = float(xy[s + 1][0]), float(xy[s + 1][1])
-                            emit(pid, 2, (x1, y1, x2, y2), None,
-                                 grid.cover_bbox(min(x1, x2), min(y1, y2),
-                                                 max(x1, x2), max(y1, y2),
-                                                 base_res))
-                    elif g["type"] in ("Polygon", "MultiPolygon"):
-                        # general polygon: boundary segments (pkind 2 —
-                        # catches every boundary crossing and probe⊂tile
-                        # via the endpoint-inside term) + one pkind-3
-                        # containment row per covered cell (carries WKT;
-                        # catches tile⊂probe when no boundary crossing)
-                        for ring in core.all_rings(g):
-                            for s in range(len(ring) - 1):
-                                x1, y1 = float(ring[s][0]), float(ring[s][1])
-                                x2, y2 = float(ring[s + 1][0]), float(ring[s + 1][1])
-                                emit(pid, 2, (x1, y1, x2, y2), None,
-                                     grid.cover_bbox(min(x1, x2), min(y1, y2),
-                                                     max(x1, x2), max(y1, y2),
-                                                     base_res))
-                        emit(pid, 3, b, w_, grid.cover_bbox(*b, base_res))
-                    else:
-                        emit(pid, 0, b, w_, grid.cover_bbox(*b, base_res))
-                yield pd.DataFrame(cols).astype(
-                    {"probe_id": "int64", "cell_id": "int64", "pkind": "int64"})
+                    root = wkt_codec.loads(w_)
+                    for g in core.flatten(root):
+                        if core.is_empty(g):
+                            continue
+                        pid_i = int(pid)
+                        b = core.bounds(g)
+                        t = g["type"]
+                        if t == "MultiPoint":
+                            xy = np.asarray(g["xy"], dtype=np.float64)
+                            pv = np.hstack([xy, xy])
+                            add(pid_i, 1, pv, pv)
+                        elif _probe_is_rect(g, b):
+                            pv = np.array([b], dtype=np.float64)
+                            add(pid_i, 1, pv, pv)
+                        elif t in ("LineString", "MultiLineString"):
+                            seg_rows(pid_i, [g["xy"]] if t == "LineString"
+                                     else g["lines"])
+                        elif t in ("Polygon", "MultiPolygon"):
+                            seg_rows(pid_i, core.all_rings(g))
+                            pv = np.array([b], dtype=np.float64)
+                            # collection members re-dump so the refine's
+                            # WKT-keyed probe cache sees ONE member each
+                            add(pid_i, 3, pv, pv,
+                                wkt_codec.dumps(g)
+                                if root["type"] == "GeometryCollection"
+                                else w_)
+                        else:
+                            pv = np.array([b], dtype=np.float64)
+                            add(pid_i, 0, pv, pv, wkt_codec.dumps(g))
+                if not r_pid:
+                    yield pd.DataFrame({
+                        "probe_id": pd.Series([], dtype="int64"),
+                        "p0": pd.Series([], dtype="float64"),
+                        "p1": pd.Series([], dtype="float64"),
+                        "p2": pd.Series([], dtype="float64"),
+                        "p3": pd.Series([], dtype="float64"),
+                        "pkind": pd.Series([], dtype="int64"),
+                        "wkt": pd.Series([], dtype=object),
+                        "cell_id": pd.Series([], dtype="int64"),
+                    })
+                    continue
+                pid_a = np.concatenate(r_pid)
+                kind_a = np.concatenate(r_kind)
+                p_a = np.vstack(r_p)
+                wkt_a = np.concatenate(r_wkt)
+                bb_a = np.vstack(r_bb)
+                rep, cid = grid.cover_bboxes(
+                    bb_a[:, 0], bb_a[:, 1], bb_a[:, 2], bb_a[:, 3], base_res)
+                yield pd.DataFrame({
+                    "probe_id": pid_a[rep],
+                    "p0": p_a[rep, 0],
+                    "p1": p_a[rep, 1],
+                    "p2": p_a[rep, 2],
+                    "p3": p_a[rep, 3],
+                    "pkind": kind_a[rep],
+                    "wkt": wkt_a[rep],
+                    "cell_id": cid,
+                })
 
         cover = probes.select("probe_id", "wkt").mapInPandas(cover_fn, cover_schema)
         # containment rows need ONE tile per (cell, region) — any tile's
@@ -1124,7 +1175,6 @@ class SpatialEngine:
                 # against the probe polygon, vectorized per probe group
                 m_c = np.nonzero(pkind == 3)[0]
                 if len(m_c):
-                    pid_c = pdf["probe_id"].to_numpy()[m_c]
                     wkt_c = pdf["wkt"].to_numpy()[m_c]
                     rid_c = pdf["region_id"].to_numpy()[m_c]
                     wkb_c = pdf["tile_wkb"].to_numpy()[m_c]
@@ -1147,20 +1197,25 @@ class SpatialEngine:
                                 ok_t[j] = False
                             else:
                                 px_t[j], py_t[j] = segs[0, 0], segs[0, 1]
-                    order = np.argsort(pid_c, kind="stable")
-                    starts = np.nonzero(np.r_[True, np.diff(pid_c[order]) != 0])[0]
+                    # group by the member's WKT TEXT (not probe_id): a
+                    # GEOMETRYCOLLECTION probe emits one pkind-3 row per
+                    # polygonal member, so one probe_id can carry
+                    # several distinct geometries
+                    order = np.argsort(wkt_c, kind="stable")
+                    sw = wkt_c[order]
+                    starts = np.nonzero(np.r_[True, sw[1:] != sw[:-1]])[0]
                     ends = np.append(starts[1:], len(m_c))
                     hit0 = np.zeros(len(m_c), dtype=bool)
                     for s0, s1 in zip(starts, ends):
                         rows_o = order[s0:s1]
-                        pid0 = pid_c[rows_o[0]]
-                        ent = probe_cache.get(("segs", pid0))
+                        wkt0 = wkt_c[rows_o[0]]
+                        ent = probe_cache.get(("segs", wkt0))
                         if ent is None:
-                            g = probe_cache.get(pid0)
+                            g = probe_cache.get(wkt0)
                             if g is None:
-                                g = probe_cache[pid0] = wkt_codec.loads(wkt_c[rows_o[0]])
+                                g = probe_cache[wkt0] = wkt_codec.loads(wkt0)
                             ent = predicates.segments_of_rings(core.all_rings(g))
-                            probe_cache[("segs", pid0)] = ent
+                            probe_cache[("segs", wkt0)] = ent
                         sel = rows_o[ok_t[rows_o]]
                         if len(sel) and len(ent):
                             hit0[sel] = predicates.points_intersect_prepared(
@@ -1175,9 +1230,9 @@ class SpatialEngine:
                     rid_g = pdf["region_id"].to_numpy()[m_g]
                     wkb_g = pdf["tile_wkb"].to_numpy()[m_g]
                     for j in range(len(m_g)):
-                        g = probe_cache.get(pid_g[j])
+                        g = probe_cache.get(wkt_g[j])
                         if g is None:
-                            g = probe_cache[pid_g[j]] = wkt_codec.loads(wkt_g[j])
+                            g = probe_cache[wkt_g[j]] = wkt_codec.loads(wkt_g[j])
                         i = m_g[j]
                         if kind[i] != 0:
                             tile = distance.rect(tmnx[i], tmny[i], tmxx[i], tmxy[i])

@@ -7,6 +7,9 @@ class-pickling overhead when closures capture them):
     {"type": "LineString",   "xy":   np.ndarray (N,2)}
     {"type": "Polygon",      "rings": [shell (N,2), hole1 (M,2), ...]}
     {"type": "MultiPolygon", "polys": [[shell, hole...], [shell, ...]]}
+    {"type": "MultiPoint",       "xy":    np.ndarray (N,2)}
+    {"type": "MultiLineString",  "lines": [np.ndarray (N,2), ...]}
+    {"type": "GeometryCollection", "geoms": [geometry dict, ...]}
 
 Rings are CLOSED (first coordinate repeated at the end), matching the
 GeoJSON/WKT/WKB on-disk contract. All coordinates are float64 lon/lat
@@ -27,6 +30,10 @@ __all__ = [
     "linestring",
     "polygon",
     "multipolygon",
+    "multipoint",
+    "multilinestring",
+    "geometrycollection",
+    "flatten",
     "all_rings",
     "polygons_of",
     "bounds",
@@ -56,6 +63,32 @@ def multipolygon(polys) -> dict:
     for rings in polys:
         out.append([ensure_closed(np.asarray(r, dtype=np.float64)) for r in rings])
     return {"type": "MultiPolygon", "polys": out}
+
+
+def multipoint(coords) -> dict:
+    return {"type": "MultiPoint",
+            "xy": np.asarray(coords, dtype=np.float64).reshape(-1, 2)}
+
+
+def multilinestring(lines) -> dict:
+    return {"type": "MultiLineString",
+            "lines": [np.asarray(l, dtype=np.float64) for l in lines]}
+
+
+def geometrycollection(geoms) -> dict:
+    return {"type": "GeometryCollection", "geoms": list(geoms)}
+
+
+def flatten(geom: dict):
+    """Yield the non-collection members of a geometry, recursing through
+    GeometryCollection nesting (the reference hands ANY parsed JTS
+    geometry to QueryGeometry, /root/reference/AreaCityQuery.java:175-179;
+    `intersects` over a collection is the union of per-member hits)."""
+    if geom["type"] == "GeometryCollection":
+        for g in geom["geoms"]:
+            yield from flatten(g)
+    else:
+        yield geom
 
 
 def ensure_closed(ring: np.ndarray) -> np.ndarray:
@@ -91,7 +124,7 @@ def is_empty(geom: dict) -> bool:
     t = geom["type"]
     if t == "Point":
         return geom["xy"].size == 0 or bool(np.any(np.isnan(geom["xy"])))
-    if t == "LineString":
+    if t in ("LineString", "MultiPoint"):
         return len(geom["xy"]) == 0
     if t == "Polygon":
         return not geom["rings"] or len(geom["rings"][0]) < 4
@@ -99,6 +132,10 @@ def is_empty(geom: dict) -> bool:
         return not geom["polys"] or all(
             (not rs or len(rs[0]) < 4) for rs in geom["polys"]
         )
+    if t == "MultiLineString":
+        return all(len(l) == 0 for l in geom["lines"])
+    if t == "GeometryCollection":
+        return all(is_empty(g) for g in geom["geoms"])
     return True
 
 
@@ -108,10 +145,16 @@ def bounds(geom: dict) -> tuple[float, float, float, float]:
     if t == "Point":
         x, y = geom["xy"]
         return (x, y, x, y)
-    if t == "LineString":
+    if t in ("LineString", "MultiPoint"):
         xy = geom["xy"]
     elif t == "Polygon":
         xy = geom["rings"][0]
+    elif t == "MultiLineString":
+        xy = np.vstack([l for l in geom["lines"] if len(l)])
+    elif t == "GeometryCollection":
+        bs = np.array([bounds(g) for g in geom["geoms"] if not is_empty(g)])
+        return (float(bs[:, 0].min()), float(bs[:, 1].min()),
+                float(bs[:, 2].max()), float(bs[:, 3].max()))
     else:  # MultiPolygon: bounds over all shells
         xy = np.vstack([rs[0] for rs in geom["polys"] if len(rs[0])])
     mn = xy.min(axis=0)

@@ -1,4 +1,7 @@
-"""Minimal WKT codec for POINT / LINESTRING / POLYGON / MULTIPOLYGON.
+"""WKT codec for POINT / LINESTRING / POLYGON / MULTIPOLYGON plus
+MULTIPOINT / MULTILINESTRING / GEOMETRYCOLLECTION (the reference feeds
+ANY WKT the JTS WKTReader accepts into QueryGeometry — "任意图形",
+/root/reference/Test_HttpApiServer.java:117-137, AreaCityQuery.java:175-179).
 
 Output format mirrors JTS `Geometry.toText()` (the reference returns
 full-geometry WKT from its wkbs file, /root/reference/AreaCityQuery.java:204-206,
@@ -30,6 +33,16 @@ def dumps(geom: dict) -> str:
     if t == "MultiPolygon":
         body = ", ".join(_poly(rings) for rings in geom["polys"])
         return f"MULTIPOLYGON ({body})"
+    if t == "MultiPoint":
+        # parenthesized-point form (JTS >= 1.17 toText style)
+        body = ", ".join(f"({_f(x)} {_f(y)})" for x, y in geom["xy"])
+        return f"MULTIPOINT ({body})"
+    if t == "MultiLineString":
+        body = ", ".join(f"({_coords(l)})" for l in geom["lines"])
+        return f"MULTILINESTRING ({body})"
+    if t == "GeometryCollection":
+        body = ", ".join(dumps(g) for g in geom["geoms"])
+        return f"GEOMETRYCOLLECTION ({body})"
     raise ValueError(f"unsupported geometry type for WKT: {t}")
 
 
@@ -63,7 +76,16 @@ def loads(text: str) -> dict:
             return {"type": "MultiPolygon", "polys": []}
         if kind == "LINESTRING":
             return core.linestring(np.zeros((0, 2)))
+        if kind == "MULTIPOINT":
+            return core.multipoint(np.zeros((0, 2)))
+        if kind == "MULTILINESTRING":
+            return core.multilinestring([])
+        if kind == "GEOMETRYCOLLECTION":
+            return core.geometrycollection([])
         raise ValueError(f"unsupported WKT type: {kind}")
+    if kind == "GEOMETRYCOLLECTION":
+        return core.geometrycollection(
+            loads(m) for m in _split_members(body.strip()[1:-1]))
     nums, tree = _parse_parens(body)
     if kind == "POINT":
         xy = _coord_list(body.strip("() "))
@@ -74,7 +96,32 @@ def loads(text: str) -> dict:
         return {"type": "Polygon", "rings": [np.asarray(r) for r in tree]}
     if kind == "MULTIPOLYGON":
         return {"type": "MultiPolygon", "polys": [[np.asarray(r) for r in p] for p in nums]}
+    if kind == "MULTIPOINT":
+        # both spellings: MULTIPOINT (1 2, 3 4) and ((1 2), (3 4))
+        pts = [p.strip(" ()\t\n") for p in body.strip()[1:-1].split(",")]
+        return core.multipoint(_coord_list(", ".join(pts)))
+    if kind == "MULTILINESTRING":
+        return core.multilinestring([np.asarray(l) for l in tree])
     raise ValueError(f"unsupported WKT type: {kind}")
+
+
+def _split_members(body: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION body at its depth-0 commas."""
+    out: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i])
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _coord_list(seg: str) -> np.ndarray:

@@ -148,6 +148,38 @@ def cover_bbox(minx, miny, maxx, maxy, res: int) -> np.ndarray:
     return pack(res, gx.ravel(), gy.ravel())
 
 
+def cover_bboxes(minx, miny, maxx, maxy, res: int):
+    """Vectorized `cover_bbox` over N bboxes (same CLOSED edge-touch
+    semantics). Returns (row_idx, cell_id) — row_idx indexes the input
+    arrays, one output pair per covered cell, repeat/cumsum arithmetic
+    with no per-row Python."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    n = 1 << res
+    w = cell_width(res)
+    fx0 = (minx + 180.0) / w
+    fy0 = (miny + 90.0) / w
+    x0 = np.floor(fx0)
+    x0 = np.where(fx0 == x0, x0 - 1, x0)
+    y0 = np.floor(fy0)
+    y0 = np.where(fy0 == y0, y0 - 1, y0)
+    x0 = np.clip(x0, 0, n - 1).astype(np.int64)
+    y0 = np.clip(y0, 0, n - 1).astype(np.int64)
+    x1 = np.clip(np.floor((maxx + 180.0) / w), 0, n - 1).astype(np.int64)
+    y1 = np.clip(np.floor((maxy + 90.0) / w), 0, n - 1).astype(np.int64)
+    kx = x1 - x0 + 1
+    ky = y1 - y0 + 1
+    cnt = kx * ky
+    rep = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    offs = np.arange(int(cnt.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ix = x0[rep] + offs // ky[rep]
+    iy = y0[rep] + offs % ky[rep]
+    return rep, pack(res, ix, iy)
+
+
 def classify_cells(geom: dict, cell_ids: np.ndarray):
     """Classify same-res candidate cells against a polygonal geometry.
 

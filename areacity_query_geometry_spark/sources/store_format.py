@@ -122,8 +122,12 @@ class IcebergStoreFormat(StoreFormat):
            .createOrReplace())
 
     def write_meta(self, spark: SparkSession, store: str, meta: dict) -> None:
+        # json.dumps each value (symmetric with read_meta's json.loads)
+        # and escape single quotes so a quoted value can't break out of
+        # the SQL string literal
         props = ", ".join(
-            f"'aqgs.{k}' = '{v}'" for k, v in sorted(meta.items()))
+            "'aqgs.{}' = '{}'".format(k, json.dumps(v).replace("'", "''"))
+            for k, v in sorted(meta.items()))
         spark.sql(f"ALTER TABLE {self._ident(store, 'tiles')} "
                   f"SET TBLPROPERTIES ({props})")
 

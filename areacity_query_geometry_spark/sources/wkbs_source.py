@@ -47,7 +47,10 @@ def read_meta(path: str) -> dict:
             i = head.find(key)
             if i >= 0:
                 meta[name] = head[i + len(key):].split("\n", 1)[0].strip()
-        f.seek(-1, 2)
+        try:
+            f.seek(-1, 2)  # OSError on a zero-byte file — treat as invalid
+        except OSError:
+            return meta
         meta["valid_end"] = f.read(1) == b"]"
     return meta
 

@@ -92,6 +92,38 @@ class TestCodecs:
         g = wkt.loads("POINT (114.044346 22.691963)")
         np.testing.assert_allclose(g["xy"], [114.044346, 22.691963])
 
+    def test_wkt_multipoint_both_spellings(self):
+        a = wkt.loads("MULTIPOINT ((1 2), (3.5 4))")
+        b = wkt.loads("MULTIPOINT (1 2, 3.5 4)")
+        assert a["type"] == b["type"] == "MultiPoint"
+        np.testing.assert_allclose(a["xy"], b["xy"])
+        assert wkt.loads(wkt.dumps(a))["xy"].shape == (2, 2)
+
+    def test_wkt_multilinestring_roundtrip(self):
+        g = wkt.loads("MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 6))")
+        assert g["type"] == "MultiLineString"
+        assert [len(l) for l in g["lines"]] == [3, 2]
+        g2 = wkt.loads(wkt.dumps(g))
+        np.testing.assert_allclose(g2["lines"][0], g["lines"][0])
+
+    def test_wkt_geometrycollection_roundtrip(self):
+        src = ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 3), "
+               "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+               "GEOMETRYCOLLECTION (MULTIPOINT ((9 9))))")
+        g = wkt.loads(src)
+        assert g["type"] == "GeometryCollection"
+        members = [m["type"] for m in core.flatten(g)]
+        assert members == ["Point", "LineString", "Polygon", "MultiPoint"]
+        g2 = wkt.loads(wkt.dumps(g))
+        assert [m["type"] for m in core.flatten(g2)] == members
+        assert core.bounds(g) == (0.0, 0.0, 9.0, 9.0)
+
+    def test_wkt_new_types_empty(self):
+        for t in ("MULTIPOINT", "MULTILINESTRING", "GEOMETRYCOLLECTION"):
+            g = wkt.loads(f"{t} EMPTY")
+            assert core.is_empty(g)
+            assert wkt.dumps(g).endswith("EMPTY")
+
     def test_geojson_feature_line(self):
         line = '{"type":"Feature","properties":{"id":110000,"name":"北京","deep":0},"geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}},'
         prop, geom = geojson.parse_feature_line(line)

@@ -92,6 +92,68 @@ class TestGeometryProbe:
         assert "湖北省" in names and "北京市" in names and "河南省" in names
         assert "广东省" not in names
 
+    def test_multilinestring_probe_unions_parts(self, province_engine, spark):
+        # part 1 crosses Hubei→Beijing; part 2 sits wholly inside
+        # Guangdong — the union must include both hit-sets
+        probes = spark.createDataFrame(
+            [(1, "MULTILINESTRING ((114.3 30.6, 116.4 39.9), "
+                 "(113.2 23.1, 113.3 23.2))")], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        names = {r.name for r in rows}
+        assert {"湖北省", "北京市", "河南省", "广东省"} <= names
+
+    def test_multilinestring_equals_two_linestrings(self, province_engine, spark):
+        """A MultiLineString's hit-set must equal the union of its
+        parts queried separately."""
+        parts = ["LINESTRING (114.3 30.6, 116.4 39.9)",
+                 "LINESTRING (108 34, 120 28)"]
+        sep = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(parts)], "probe_id long, wkt string")
+        merged = spark.createDataFrame(
+            [(1, "MULTILINESTRING ((114.3 30.6, 116.4 39.9), (108 34, 120 28))")],
+            "probe_id long, wkt string")
+        union = {r.region_id for r in province_engine.query_geometry(
+            sep, with_props=False).collect()}
+        got = {r.region_id for r in province_engine.query_geometry(
+            merged, with_props=False).collect()}
+        assert got == union
+
+    def test_multipoint_probe(self, province_engine, spark):
+        probes = spark.createDataFrame(
+            [(1, "MULTIPOINT ((114.044346 22.691963), (116.4 39.9))")],
+            "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        assert {r.name for r in rows} == {"广东省", "北京市"}
+
+    def test_multipoint_bare_spelling(self, province_engine, spark):
+        # WKT's other MULTIPOINT spelling (no per-point parens)
+        probes = spark.createDataFrame(
+            [(1, "MULTIPOINT (114.044346 22.691963, 116.4 39.9)")],
+            "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        assert {r.name for r in rows} == {"广东省", "北京市"}
+
+    def test_geometrycollection_probe(self, province_engine, spark):
+        # point in Guangdong + line Hubei→Beijing + diamond over Hainan
+        wkt = ("GEOMETRYCOLLECTION (POINT (114.044346 22.691963), "
+               "LINESTRING (114.3 30.6, 116.4 39.9), "
+               "POLYGON ((104 19.5, 110 26, 116 19.5, 110 13, 104 19.5)))")
+        probes = spark.createDataFrame([(1, wkt)], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        names = {r.name for r in rows}
+        assert {"广东省", "湖北省", "北京市", "海南省"} <= names
+
+    def test_geometrycollection_two_polygons_one_probe(self, province_engine, spark):
+        """Two disjoint polygon members under ONE probe_id — each needs
+        its own pkind-3 containment row (WKT-keyed probe cache)."""
+        wkt = ("GEOMETRYCOLLECTION ("
+               "POLYGON ((104 19.5, 110 26, 116 19.5, 110 13, 104 19.5)), "
+               "POLYGON ((115 39, 117.5 39, 117.5 41, 115 41, 115 39)))")
+        probes = spark.createDataFrame([(1, wkt)], "probe_id long, wkt string")
+        rows = province_engine.query_geometry(probes).collect()
+        names = {r.name for r in rows}
+        assert "海南省" in names and "北京市" in names
+
 
 class TestAttributeScan:
     def test_read_wkt_filter(self, province_engine):
