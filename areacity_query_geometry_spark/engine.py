@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from . import GRID_VERSION, grid, tiler
@@ -734,22 +734,14 @@ class SpatialEngine:
         else:  # tolerance -1: unlimited — every boundary tile is a candidate
             # (the reference documents -1 as "traverses all data,
             # performance extremely low", AreaCityQuery.java:100.)
-            # Reverse-broadcast: the miss points ship to the TILE
-            # partitions (instead of cross-joining WKB bytes onto every
-            # point), each partition min-reduces per (point, region),
-            # and only the tiny partial minima shuffle.
+            # Iterative radius doubling: log-many bounded rounds, no
+            # driver-side materialization of the miss set at ANY size.
             t = self.tiles.filter(F.col("kind") == 0)
             if where:
                 keep = self.boundaries.filter(where).select("region_id")
                 t = t.join(F.broadcast(keep), "region_id", "left_semi")
-            # one capped collect decides the strategy AND feeds the
-            # broadcast — the driver never holds more than the cap + 1
-            cap = 2_000_000
-            rows = misses.limit(cap + 1).collect()
-            if len(rows) <= cap:
-                dists = self._dists_unlimited_reverse(rows, t)
-                return self._finish_tolerance(base_out, dists, k)
-            cand = misses.crossJoin(F.broadcast(t.select("region_id", "tile_wkb")))
+            dists = self._dists_unlimited_iterative(misses, t, k)
+            return self._finish_tolerance(base_out, dists, k)
 
         dist_schema = StructType([
             StructField("point_id", LongType()),
@@ -812,67 +804,387 @@ class SpatialEngine:
         dists = cand.mapInPandas(dist_fn, dist_schema)
         return self._finish_tolerance(base_out, dists, k)
 
-    def _dists_unlimited_reverse(self, rows: list, tiles_b: DataFrame) -> DataFrame:
-        """tolerance=-1 distance stage: broadcast the (pre-collected) miss
-        points, scan tiles once, min-reduce per (point, region) within
-        each partition.
+    def _dists_unlimited_iterative(self, misses: DataFrame,
+                                   tiles_b: DataFrame, k: int) -> DataFrame:
+        """tolerance=-1 distance stage without materializing the miss
+        set on the driver (any miss-set size): per-round radius
+        doubling. Each round covers every active point's radius-r bbox
+        (the 24-gon step-ladder per-axis degree radii, clamped to the
+        tile-store extent), computes exact candidate distances,
+        forms candidates ONLY for each point's still-unsatisfied deep
+        levels (a deep bitmask rides the cover rows — no extra
+        shuffle), and freezes a (point, deep) once its min(k,
+        #regions-of-deep) winners are CERTIFIED: winner distance ≤ r/4
+        (factor-4 margin over the bbox linearization AND the
+        planar-argmin axis anisotropy — sound to |lat| ≲ 69°). A point
+        whose clamped bbox covered the whole extent saw every tile, so
+        all its deeps freeze unconditionally — termination in
+        O(log(world/r0)) rounds. Only (point_id, lng, lat, deep) state
+        and per-(point, region) minima flow between rounds
+        (localCheckpoint'd, ContextCleaner-reclaimed); the driver sees
+        a round counter and an isEmpty flag — never rows.
 
         Distance definition: haversine AT THE PLANAR-NEAREST boundary
         point of the region (argmin by planar distance across tiles,
-        haversine evaluated once at the winner). This is well-defined
-        and tiling-independent; the reference's per-tile
-        min-of-haversines (AreaCityQuery.java:131-135) depends on its
-        grid split for far-away features — for the nearest feature (the
-        only one the reference ever returns, k=1) the two definitions
-        coincide."""
-        pid = np.array([r["point_id"] for r in rows], dtype=np.int64)
-        px = np.array([r["lng"] for r in rows], dtype=np.float64)
-        py = np.array([r["lat"] for r in rows], dtype=np.float64)
-        b_pts = self.spark.sparkContext.broadcast((pid, px, py))
+        haversine evaluated once at the winner) — well-defined and
+        tiling-independent; for the nearest feature (all the reference
+        ever returns, k=1, AreaCityQuery.java:131-141) it coincides
+        with the reference's per-tile min-of-haversines.
+
+        At planet scale: real region sets have every deep level nearby,
+        so almost all (point, deep)s certify in round one; the
+        full-extent cap round only pairs points with the tiles of deep
+        levels whose k-th feature is continent-distant — inherent in
+        the reference's '-1 traverses all data' semantics
+        (AreaCityQuery.java:100)."""
+        base_res = self.base_res
+        r0 = 262144.0        # 2^18 m starting radius
+        growth = 32.0        # ×32/round → ≤3 rounds to planet scale
+
+        # tiny metadata dims (≤ #deep-levels rows), ONE pass over tiles
+        deep_stats = (
+            tiles_b.groupBy("deep").agg(
+                F.countDistinct("region_id").alias("tot"),
+                F.min("minx").alias("ex0"), F.min("miny").alias("ey0"),
+                F.max("maxx").alias("ex1"), F.max("maxy").alias("ey1"))
+            .localCheckpoint(eager=True)
+        )
+        deep_tot = deep_stats.select("deep", "tot")
+        ex_row = deep_stats.agg(
+            F.min("ex0").alias("ex0"), F.min("ey0").alias("ey0"),
+            F.max("ex1").alias("ex1"), F.max("ey1").alias("ey1")).first()
+        extent = self.spark.createDataFrame(
+            [(ex_row["ex0"], ex_row["ey0"], ex_row["ex1"], ex_row["ey1"])],
+            "ex0 double, ey0 double, ex1 double, ey1 double")
+
+        cover_schema = StructType([
+            StructField("point_id", LongType()),
+            StructField("lng", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("mask", LongType()),
+            StructField("cell_id", LongType()),
+        ])
+
+        def make_cover(r_m: float):
+            def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                # per-axis degree radii via the CreateSimpleCircle
+                # step-ladder (AreaCityQuery.java:1388-1405), bbox
+                # clamped to the tile-store extent; vectorized via
+                # grid.cover_bboxes
+                km = r_m / 1000.0
+                a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
+                for pdf in it:
+                    if not len(pdf):
+                        yield pd.DataFrame({
+                            "point_id": pd.Series([], dtype="int64"),
+                            "lng": pd.Series([], dtype="float64"),
+                            "lat": pd.Series([], dtype="float64"),
+                            "mask": pd.Series([], dtype="int64"),
+                            "cell_id": pd.Series([], dtype="int64"),
+                        })
+                        continue
+                    pid = pdf["point_id"].to_numpy()
+                    msk = pdf["mask"].to_numpy()
+                    px = pdf["lng"].to_numpy(dtype=np.float64)
+                    py = pdf["lat"].to_numpy(dtype=np.float64)
+                    b = np.asarray(distance.haversine(px, py, px + a, py))
+                    c = np.asarray(distance.haversine(px, py, px, py + a))
+                    rb = r_m / b * a
+                    rc = r_m / c * a
+                    minx = np.maximum(px - rb, pdf["ex0"].to_numpy())
+                    maxx = np.minimum(px + rb, pdf["ex1"].to_numpy())
+                    miny = np.maximum(py - rc, pdf["ey0"].to_numpy())
+                    maxy = np.minimum(py + rc, pdf["ey1"].to_numpy())
+                    ok = (minx <= maxx) & (miny <= maxy)
+                    idx = np.nonzero(ok)[0]
+                    rep, cid = grid.cover_bboxes(
+                        minx[idx], miny[idx], maxx[idx], maxy[idx], base_res)
+                    sel = idx[rep]
+                    yield pd.DataFrame({
+                        "point_id": pid[sel].astype("int64"),
+                        "lng": px[sel],
+                        "lat": py[sel],
+                        "mask": msk[sel].astype("int64"),
+                        "cell_id": cid,
+                    })
+            return cover_fn
+
+        active = (misses.select("point_id", "lng", "lat")
+                  .crossJoin(F.broadcast(deep_tot.select("deep")))
+                  .localCheckpoint(eager=True))  # (point, deep) state
+        t_side = F.broadcast(tiles_b) if self.broadcast_tiles else tiles_b
+        # beyond ~the extent's own span the cell cover prunes nothing —
+        # switch to the cogrouped full reverse scan. (ex_row is a 1-row
+        # metadata fetch, same class as QueryInitInfo's kind counts.)
+        if ex_row["ex0"] is None:
+            r_switch = 0.0  # no tiles at all: empty terminal round
+        else:
+            r_switch = 111320.0 * max(ex_row["ex1"] - ex_row["ex0"],
+                                      ex_row["ey1"] - ex_row["ey0"])
+        parts: list[DataFrame] = []
+        r = r0
+        n_prev = active.count()  # scalar control-flow action
+        w = Window.partitionBy("point_id", "deep").orderBy("dist_m", "region_id")
+        while True:
+            if r >= r_switch:
+                parts.append(self._dists_full_scan(active, tiles_b))
+                break
+            act_pts = active.groupBy("point_id", "lng", "lat").agg(
+                F.expr("bit_or(cast(shiftleft(1, cast(deep AS INT)) AS BIGINT))")
+                .alias("mask"))
+            act_ext = act_pts.crossJoin(F.broadcast(extent))
+            cover = act_ext.mapInPandas(make_cover(r), cover_schema)
+            cand = (cover.join(t_side, "cell_id")
+                    .filter(F.expr(
+                        "(shiftright(mask, cast(deep AS INT)) & 1) = 1"))
+                    .select("point_id", "lng", "lat", "cell_id", "region_id",
+                            "deep", "minx", "miny", "tile_wkb"))
+            per_pr = self._cand_dists(cand).localCheckpoint(eager=True)
+            ranked = per_pr.withColumn("rn", F.row_number().over(w))
+            per_pd = (ranked.join(F.broadcast(deep_tot), "deep")
+                      .groupBy("point_id", "deep")
+                      .agg(F.count("*").alias("cnt"),
+                           F.max(F.when(
+                               F.col("rn") <= F.least(F.lit(k), F.col("tot")),
+                               F.col("dist_m"))).alias("dk"),
+                           F.first("tot").alias("tot")))
+            frozen = per_pd.filter(
+                (F.col("cnt") >= F.least(F.lit(k), F.col("tot")))
+                & (F.col("dk") <= F.lit(r / 4.0))) \
+                .select("point_id", "deep")
+            parts.append(per_pr.join(frozen, ["point_id", "deep"], "left_semi")
+                               .select("point_id", "region_id", "dist_m"))
+            active = active.join(frozen, ["point_id", "deep"], "left_anti") \
+                           .localCheckpoint(eager=True)
+            # scalar control-flow counts only — no row data on the driver
+            n_act = active.count()
+            if n_act == 0:
+                break
+            if n_act > 0.5 * n_prev:
+                # cover rounds stopped shrinking the frontier (the k-th
+                # feature of some deep is a large fraction of the world
+                # away for most points) — radius doubling would just
+                # re-pay the cover; go straight to the exact full scan
+                parts.append(self._dists_full_scan(active, tiles_b))
+                break
+            n_prev = n_act
+            r *= growth
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _dists_full_scan(self, active: DataFrame,
+                         tiles_b: DataFrame) -> DataFrame:
+        """Terminal round of the tolerance=-1 iteration: an exact full
+        reverse scan for the remaining (point, deep) pairs, expressed
+        as a cogrouped applyInPandas — points hash-bucket by point_id,
+        the needed deeps' boundary tiles REPLICATE to every bucket
+        (tile dim ≪ point count; at scale only the continent-distant
+        deep levels are still active here, so the replicated side is a
+        handful of far regions' tiles). Inside each group the old
+        reverse-broadcast kernel runs unchanged: one vectorized
+        planar-nearest call per tile over the bucket's points, argmin
+        min-reduce per region, haversine once at each winner — pair
+        formation never materializes as rows, and the driver holds
+        nothing."""
+        B = max(int(self.spark.sparkContext.defaultParallelism), 8)
+        act_pts = active.groupBy("point_id", "lng", "lat").agg(
+            F.expr("bit_or(cast(shiftleft(1, cast(deep AS INT)) AS BIGINT))")
+            .alias("mask"))
+        pts_b = act_pts.withColumn(
+            "b", F.pmod(F.col("point_id"), F.lit(B)).cast("int"))
+        deeps_needed = active.select("deep").distinct()
+        tls = (tiles_b.join(F.broadcast(deeps_needed), "deep", "left_semi")
+               .select("deep", "cell_id", "region_id", "minx", "miny",
+                       "tile_wkb")
+               .crossJoin(self.spark.range(B)
+                          .select(F.col("id").cast("int").alias("b"))))
         schema = StructType([
             StructField("point_id", LongType()),
             StructField("region_id", LongType()),
             StructField("dist_m", DoubleType()),
         ])
 
-        def over_tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pid_, px_, py_ = b_pts.value
-            best: dict[int, tuple] = {}  # rid → (planar_d, nx, ny)
-            for pdf in it:
-                for rid, twkb in zip(pdf["region_id"], pdf["tile_wkb"]):
-                    g = wkb.loads(bytes(twkb))
-                    segs = predicates.segments_of_rings(core.all_rings(g))
-                    nx, ny, d = predicates.nearest_on_segments(px_, py_, segs)
-                    ent = best.get(int(rid))
-                    if ent is None:
-                        best[int(rid)] = (np.asarray(d, dtype=np.float64),
-                                          np.asarray(nx), np.asarray(ny))
-                    else:
-                        bd, bnx, bny = ent
-                        m = d < bd
-                        bd[m] = d[m]
-                        bnx[m] = nx[m]
-                        bny[m] = ny[m]
-            out_p, out_r, out_d = [], [], []
-            for rid, (bd, bnx, bny) in best.items():
-                out_p.append(pid_)
-                out_r.append(np.full(len(pid_), rid, dtype=np.int64))
-                out_d.append(np.asarray(
-                    distance.haversine(bnx, bny, px_, py_), dtype=np.float64))
-            if out_p:
-                yield pd.DataFrame({
-                    "point_id": np.concatenate(out_p),
-                    "region_id": np.concatenate(out_r),
-                    "dist_m": np.concatenate(out_d),
-                })
-            else:
-                yield pd.DataFrame({
+        def kernel(pts: pd.DataFrame, tls_: pd.DataFrame) -> pd.DataFrame:
+            if not len(pts) or not len(tls_):
+                return pd.DataFrame({
                     "point_id": pd.Series([], dtype="int64"),
                     "region_id": pd.Series([], dtype="int64"),
                     "dist_m": pd.Series([], dtype="float64"),
                 })
+            px = pts["lng"].to_numpy(dtype=np.float64)
+            py = pts["lat"].to_numpy(dtype=np.float64)
+            pid = pts["point_id"].to_numpy()
+            msk = pts["mask"].to_numpy()
+            sel_by_deep: dict[int, np.ndarray] = {}
+            # rid → (sel, planar_d, nx, ny) min-reduced across its tiles
+            best: dict[int, tuple] = {}
+            for row in tls_.itertuples(index=False):
+                dp = int(row.deep)
+                sel = sel_by_deep.get(dp)
+                if sel is None:
+                    sel = sel_by_deep[dp] = np.nonzero(
+                        (msk >> dp) & 1)[0]
+                if not len(sel):
+                    continue
+                g = wkb.loads(bytes(row.tile_wkb))
+                segs = predicates.segments_of_rings(core.all_rings(g))
+                if not len(segs):
+                    continue
+                rid = int(row.region_id)
+                ent = best.get(rid)
+                if ent is None:
+                    nx, ny, d = predicates.nearest_on_segments(
+                        px[sel], py[sel], segs)
+                    best[rid] = (sel, np.asarray(d, dtype=np.float64),
+                                 np.asarray(nx), np.asarray(ny))
+                else:
+                    _, bd, bnx, bny = ent
+                    nx, ny, d = predicates.nearest_on_segments(
+                        px[sel], py[sel], segs)
+                    m = d < bd
+                    bd[m] = d[m]
+                    bnx[m] = nx[m]
+                    bny[m] = ny[m]
+            out_p, out_r, out_d = [], [], []
+            for rid, (sel, bd, bnx, bny) in best.items():
+                out_p.append(pid[sel])
+                out_r.append(np.full(len(sel), rid, dtype=np.int64))
+                out_d.append(np.asarray(distance.haversine(
+                    bnx, bny, px[sel], py[sel]), dtype=np.float64))
+            if not out_p:
+                return pd.DataFrame({
+                    "point_id": pd.Series([], dtype="int64"),
+                    "region_id": pd.Series([], dtype="int64"),
+                    "dist_m": pd.Series([], dtype="float64"),
+                })
+            return pd.DataFrame({
+                "point_id": np.concatenate(out_p).astype("int64"),
+                "region_id": np.concatenate(out_r),
+                "dist_m": np.concatenate(out_d),
+            })
 
-        return tiles_b.select("region_id", "tile_wkb").mapInPandas(over_tiles, schema)
+        return (pts_b.groupby("b").cogroup(tls.groupby("b"))
+                .applyInPandas(kernel, schema))
+
+    def _cand_dists(self, cand: DataFrame) -> DataFrame:
+        """Exact per-(point, region) distances for (point, region,
+        tile) candidates, matching the definition the Q2 oracles
+        encode: planar ARGMIN across the region's tiles, then haversine
+        evaluated once AT the winning boundary point (NOT min of
+        per-tile haversines — at long range the two differ because
+        longitudinal meters shrink with latitude).
+
+        Stage 1 (Arrow batch): candidate rows group per TILE via a
+        lexsort over (cell_id, region_id, bbox bit-keys) — no per-row
+        Python, no byte-string hashing — each tile's WKB decodes once
+        per task (registry cache) and one vectorized planar-nearest
+        call runs per tile group (the Q3 refine's _tile_groups
+        pattern). Stage 2: a JVM struct-min aggregation picks the
+        planar argmin per (point, region) — map-side combine, skinny
+        shuffle — then one thin Arrow pass computes haversine at the
+        winners (the same numpy arithmetic as every other engine
+        distance)."""
+        schema = StructType([
+            StructField("point_id", LongType()),
+            StructField("region_id", LongType()),
+            StructField("deep", IntegerType()),
+            StructField("lng", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("planar_d", DoubleType()),
+            StructField("nx", DoubleType()),
+            StructField("ny", DoubleType()),
+        ])
+
+        def _empty():
+            return pd.DataFrame({
+                c: pd.Series([], dtype=(
+                    "int64" if c in ("point_id", "region_id")
+                    else "int32" if c == "deep" else "float64"))
+                for c in ("point_id", "region_id", "deep", "lng", "lat",
+                          "planar_d", "nx", "ny")})
+
+        def near_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            registry: dict[tuple, np.ndarray] = {}
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    yield _empty()
+                    continue
+                cid = pdf["cell_id"].to_numpy()
+                rid = pdf["region_id"].to_numpy()
+                xb = pdf["minx"].to_numpy(dtype=np.float64).view(np.int64)
+                yb = pdf["miny"].to_numpy(dtype=np.float64).view(np.int64)
+                order = np.lexsort((yb, xb, rid, cid))
+                cs, rs, xs, ys = cid[order], rid[order], xb[order], yb[order]
+                new_grp = np.empty(n, dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (np.diff(cs) != 0) | (np.diff(rs) != 0) | \
+                              (np.diff(xs) != 0) | (np.diff(ys) != 0)
+                starts = np.nonzero(new_grp)[0]
+                ends = np.append(starts[1:], n)
+                px = pdf["lng"].to_numpy(dtype=np.float64)[order]
+                py = pdf["lat"].to_numpy(dtype=np.float64)[order]
+                pid_o = pdf["point_id"].to_numpy()[order]
+                dp_o = pdf["deep"].to_numpy()[order]
+                wkb_col = pdf["tile_wkb"].to_numpy()[order]
+                nx = np.empty(n)
+                ny = np.empty(n)
+                d = np.empty(n)
+                valid = np.ones(n, dtype=bool)
+                for s0, s1 in zip(starts, ends):
+                    key = (cs[s0], rs[s0], xs[s0], ys[s0])
+                    segs = registry.get(key)
+                    if segs is None:
+                        g = wkb.loads(bytes(wkb_col[s0]))
+                        segs = predicates.segments_of_rings(core.all_rings(g))
+                        registry[key] = segs
+                    if not len(segs):
+                        valid[s0:s1] = False
+                        continue
+                    nx[s0:s1], ny[s0:s1], d[s0:s1] = \
+                        predicates.nearest_on_segments(px[s0:s1], py[s0:s1], segs)
+                yield pd.DataFrame({
+                    "point_id": pid_o[valid].astype("int64"),
+                    "region_id": rs[valid].astype("int64"),
+                    "deep": dp_o[valid].astype("int32"),
+                    "lng": px[valid],
+                    "lat": py[valid],
+                    "planar_d": d[valid],
+                    "nx": nx[valid],
+                    "ny": ny[valid],
+                })
+
+        near = cand.mapInPandas(near_fn, schema)
+        win = near.groupBy("point_id", "region_id").agg(
+            F.min(F.struct("planar_d", "nx", "ny")).alias("m"),
+            F.first("deep").alias("deep"),
+            F.first("lng").alias("lng"), F.first("lat").alias("lat"),
+        ).select("point_id", "region_id", "deep", "lng", "lat",
+                 F.col("m.nx").alias("nx"), F.col("m.ny").alias("ny"))
+
+        out_schema = StructType([
+            StructField("point_id", LongType()),
+            StructField("region_id", LongType()),
+            StructField("deep", IntegerType()),
+            StructField("dist_m", DoubleType()),
+        ])
+
+        def hav_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                d = distance.haversine(
+                    pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
+                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy())
+                yield pd.DataFrame({
+                    "point_id": pdf["point_id"].astype("int64"),
+                    "region_id": pdf["region_id"].astype("int64"),
+                    "deep": pdf["deep"].astype("int32"),
+                    "dist_m": np.asarray(d, dtype="float64"),
+                })
+
+        return win.mapInPandas(hav_fn, out_schema)
 
     def _finish_tolerance(self, base_out: DataFrame, dists: DataFrame, k: int) -> DataFrame:
         per_feature = dists.groupBy("point_id", "region_id").agg(
