@@ -503,6 +503,52 @@ def q5_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_tiles_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5's actual verb output — each region's reassembled MULTIPOLYGON
+    tile text (≙ Debug_ReadGeometryGridSplitsWKT,
+    /root/reference/AreaCityQuery.java:412-492) — VALUE-checked
+    byte-for-byte. The oracle rebuilds every tile's exact WKT in SQL:
+    interior cells emit their dyadic cell rect (rect() vertex order,
+    CW); boundary cells emit the Sutherland-Hodgman clip, which for
+    axis-aligned fixtures is exactly the rect
+    [greatest(x0, cx0-1e-9), least(x1, cx1+1e-9)] × [same in y]
+    (the 1e-9 is the tiler's CLIP_EPS window expansion; the clip's
+    interpolation never divides on axis-aligned rings, so every
+    coordinate is bit-reproducible), CCW with canonical start-vertex
+    rotation; hole pieces clip the same way; tiles order by cell
+    (cy0, cx0). DuckDB's shortest double-to-string formatting matches
+    Python repr on every value here except 1e-09 itself, which the
+    oracle special-cases."""
+    eng = _engine(spark)
+    out = eng.debug_tile_splits_wkt()
+    return out.select(
+        F.col("id").alias("region_code"),
+        F.col("n_tiles").cast("long").alias("n_tiles"),
+        F.col("tiles_wkt"),
+    )
+
+
+def _q5_fmt(e: str) -> str:
+    """DuckDB double → text matching the engine's repr-style _f."""
+    s = f"CAST(({e}) AS VARCHAR)"
+    return (f"(CASE WHEN ({e}) = 0.000000001 THEN '1e-09' "
+            f"WHEN {s} LIKE '%.0' THEN left({s}, length({s}) - 2) "
+            f"ELSE {s} END)")
+
+
+def _q5_ring(x0: str, y0: str, x1: str, y1: str, ccw: bool) -> str:
+    """Rect ring text starting at (x0,y0): CCW (boundary clips —
+    fixture shells are CCW and the clip preserves orientation) or CW
+    (interior tiles follow distance.rect()'s vertex order)."""
+    if ccw:
+        seq = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    else:
+        seq = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+    body = " || ', ' || ".join(
+        f"{_q5_fmt(a)} || ' ' || {_q5_fmt(b)}" for a, b in seq)
+    return f"'(' || {body} || ')'"
+
+
 def doc_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint docs-table join end to end: interleaved
     text+geo+media spans (derived deterministically from events so the
@@ -1488,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_attribute_scan": q4_attribute_scan,
         "q4_wkt_fetch": q4_wkt_fetch,
         "q5_tile_stats": q5_tile_stats,
+        "q5_tiles_wkt": q5_tiles_wkt,
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
         "media_image_decode": media_image_decode,
@@ -1793,6 +1840,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN (NOT t) AND i THEN 1 ELSE 0 END) AS BIGINT) AS n_interior
             FROM percell GROUP BY code
             HAVING sum(CASE WHEN t OR i THEN 1 ELSE 0 END) > 0
+        """,
+        "q5_tiles_wkt": f"""
+            WITH cells AS (
+                -- CAST to DOUBLE: DuckDB would otherwise carry these as
+                -- DECIMAL and print fixed-scale text ('5.6250'),
+                -- breaking the repr-parity of the WKT reconstruction
+                SELECT CAST(-180.0 + ix * 2.8125 AS DOUBLE) AS cx0,
+                       CAST(-90.0 + iy * 2.8125 AS DOUBLE) AS cy0,
+                       CAST(-180.0 + (ix + 1) * 2.8125 AS DOUBLE) AS cx1,
+                       CAST(-90.0 + (iy + 1) * 2.8125 AS DOUBLE) AS cy1,
+                       CAST(-180.0 + ix * 2.8125 + 1.40625 AS DOUBLE) AS ctrx,
+                       CAST(-90.0 + iy * 2.8125 + 1.40625 AS DOUBLE) AS ctry
+                FROM range(60, 82) t1(ix), range(28, 50) t2(iy)
+            ),
+            pcp AS (
+                SELECT r.code, c.cx0, c.cy0, c.cx1, c.cy1,
+                       r.x0, r.y0, r.x1, r.y1, r.hx0, r.hy0, r.hx1, r.hy1,
+                       (   (c.cx0 <= r.x0 AND r.x0 <= c.cx1 AND r.y0 <= c.cy1 AND r.y1 >= c.cy0)
+                        OR (c.cx0 <= r.x1 AND r.x1 <= c.cx1 AND r.y0 <= c.cy1 AND r.y1 >= c.cy0)
+                        OR (c.cy0 <= r.y0 AND r.y0 <= c.cy1 AND r.x0 <= c.cx1 AND r.x1 >= c.cx0)
+                        OR (c.cy0 <= r.y1 AND r.y1 <= c.cy1 AND r.x0 <= c.cx1 AND r.x1 >= c.cx0)
+                        OR (r.hx0 IS NOT NULL AND (
+                               (c.cx0 <= r.hx0 AND r.hx0 <= c.cx1 AND r.hy0 <= c.cy1 AND r.hy1 >= c.cy0)
+                            OR (c.cx0 <= r.hx1 AND r.hx1 <= c.cx1 AND r.hy0 <= c.cy1 AND r.hy1 >= c.cy0)
+                            OR (c.cy0 <= r.hy0 AND r.hy0 <= c.cy1 AND r.hx0 <= c.cx1 AND r.hx1 >= c.cx0)
+                            OR (c.cy0 <= r.hy1 AND r.hy1 <= c.cy1 AND r.hx0 <= c.cx1 AND r.hx1 >= c.cx0)))
+                       ) AS touched,
+                       (c.ctrx > r.x0 AND c.ctrx < r.x1
+                        AND c.ctry > r.y0 AND c.ctry < r.y1
+                        AND NOT (r.hx0 IS NOT NULL
+                                 AND c.ctrx > r.hx0 AND c.ctrx < r.hx1
+                                 AND c.ctry > r.hy0 AND c.ctry < r.hy1)) AS inside
+                FROM cells c CROSS JOIN {regions}
+            ),
+            percell AS (
+                SELECT code, cx0, cy0, cx1, cy1,
+                       bool_or(touched) AS t, bool_or(inside) AS i
+                FROM pcp GROUP BY code, cx0, cy0, cx1, cy1
+            ),
+            bp AS (
+                SELECT p.code, p.cx0, p.cy0,
+                       '(' || {_q5_ring("greatest(p.x0, p.cx0 - 0.000000001)",
+                                        "greatest(p.y0, p.cy0 - 0.000000001)",
+                                        "least(p.x1, p.cx1 + 0.000000001)",
+                                        "least(p.y1, p.cy1 + 0.000000001)", True)}
+                       || CASE WHEN p.hx0 IS NOT NULL
+                               AND greatest(p.hx0, p.cx0 - 0.000000001) < least(p.hx1, p.cx1 + 0.000000001)
+                               AND greatest(p.hy0, p.cy0 - 0.000000001) < least(p.hy1, p.cy1 + 0.000000001)
+                          THEN ', ' || {_q5_ring("greatest(p.hx0, p.cx0 - 0.000000001)",
+                                                 "greatest(p.hy0, p.cy0 - 0.000000001)",
+                                                 "least(p.hx1, p.cx1 + 0.000000001)",
+                                                 "least(p.hy1, p.cy1 + 0.000000001)", True)}
+                          ELSE '' END || ')' AS poly
+                FROM pcp p JOIN percell q
+                  ON p.code = q.code AND p.cx0 = q.cx0 AND p.cy0 = q.cy0
+                WHERE q.t
+                  AND greatest(p.x0, p.cx0 - 0.000000001) < least(p.x1, p.cx1 + 0.000000001)
+                  AND greatest(p.y0, p.cy0 - 0.000000001) < least(p.y1, p.cy1 + 0.000000001)
+            ),
+            ip AS (
+                SELECT code, cx0, cy0,
+                       '(' || {_q5_ring("cx0", "cy0", "cx1", "cy1", False)} || ')' AS poly
+                FROM percell WHERE (NOT t) AND i
+            ),
+            tiles AS (
+                SELECT code, cx0, cy0, poly FROM bp
+                UNION ALL SELECT code, cx0, cy0, poly FROM ip
+            )
+            SELECT code AS region_code, CAST(count(*) AS BIGINT) AS n_tiles,
+                   'MULTIPOLYGON (' || string_agg(poly, ', ' ORDER BY cy0, cx0) || ')' AS tiles_wkt
+            FROM tiles GROUP BY code
         """,
         "q4_attribute_scan": f"""
             SELECT DISTINCT code AS region_code, CAST(deep AS BIGINT) AS deep,

@@ -1698,19 +1698,31 @@ class SpatialEngine:
             StructField("tiles_wkt", StringType()),
         ])
 
+        def canon(ring: np.ndarray) -> np.ndarray:
+            """Rotate a closed ring to start at its lexicographically
+            smallest (x, y) vertex, orientation preserved — makes the
+            emitted WKT text deterministic (collect_list order and the
+            clip algorithm's starting vertex are not)."""
+            pts = ring[:-1]
+            i = int(np.lexsort((pts[:, 1], pts[:, 0]))[0])
+            return np.vstack([pts[i:], pts[:i], pts[i:i + 1]])
+
         def assemble(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 rids, counts, wkts = [], [], []
                 for rid, n, tile_list in zip(pdf["region_id"], pdf["n_tiles"], pdf["tiles"]):
-                    polys = []
+                    keyed = []
                     for trow in tile_list:
                         if trow["kind"] != 0:
-                            polys.append(distance.rect(
+                            rings = distance.rect(
                                 trow["minx"], trow["miny"], trow["maxx"], trow["maxy"]
-                            )["rings"])
+                            )["rings"]
                         else:
-                            g = wkb.loads(bytes(trow["tile_wkb"]))
-                            polys.append(g["rings"])
+                            rings = wkb.loads(bytes(trow["tile_wkb"]))["rings"]
+                        keyed.append(((float(trow["miny"]), float(trow["minx"])),
+                                      [canon(r) for r in rings]))
+                    keyed.sort(key=lambda kv: kv[0])  # cell (miny, minx)
+                    polys = [rings for _, rings in keyed]
                     rids.append(rid)
                     counts.append(n)
                     wkts.append(wkt_codec.dumps({"type": "MultiPolygon", "polys": polys}))
