@@ -739,6 +739,30 @@ def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "px_sum", "px_poshash")
 
 
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-checked: each media span materializes as
+    actual PNG bytes (functions/media.py encode_png_gray8 — zlib IDAT,
+    CRC'd chunks, per-row filter cycling through all five spec filter
+    types; 7×11 so Average/Paeth rows carry real left/up/upper-left
+    context), then decode_png_gray8 walks the chunks, inflates, and
+    unfilters. Pixels derive from sha256(ref) exactly like the BMP
+    gate, so the DuckDB oracle recomputes both statistics from the hash
+    arithmetic alone — a decoder that mis-reconstructed ANY filter type
+    cannot match the position-weighted checksum."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://png/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    imgs = media.synthesize_png(spans, w=7, h=11)
+    out = media.decode_image_png(imgs)
+    return out.select("doc_id", "width", "height", "px_sum", "px_poshash")
+
+
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
     documents, deterministic tie-break on doc_id. Spark plans this as
@@ -1538,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_geo_join": doc_geo_join,
         "media_span_features": media_span_features,
         "media_image_decode": media_image_decode,
+        "media_png_decode": media_png_decode,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
         "top_docs_by_quality": top_docs_by_quality,
@@ -2139,6 +2164,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(6 AS BIGINT) AS width,
                    CAST(10 AS BIGINT) AS height, px_sum, px_poshash
+            FROM px
+        """,
+        "media_png_decode": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://png/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            px AS (
+                -- pixel k (row-major, 7x11=77 px) = byte (k mod 32) of
+                -- sha256(ref) — identical derivation to the BMP gate;
+                -- only the container differs (PNG: zlib IDAT + filters)
+                SELECT doc_id,
+                       CAST(sum(CAST(('0x' || substr(sha256(ref), 2*(k%32)+1, 2))
+                                AS BIGINT)) AS BIGINT) AS px_sum,
+                       CAST(sum(CAST(('0x' || substr(sha256(ref), 2*(k%32)+1, 2))
+                                AS BIGINT) * (k + 1)) AS BIGINT) AS px_poshash
+                FROM d CROSS JOIN range(0, 77) t(k)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(7 AS BIGINT) AS width,
+                   CAST(11 AS BIGINT) AS height, px_sum, px_poshash
             FROM px
         """,
         "raster_coverage": f"""
