@@ -907,21 +907,28 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup, streaming/dedup_stream.py) VALUE-checked against the
     batch semantics: the documents table streams through
     `stream_dedup_exact` (state = one record per fingerprint; first
-    doc_id wins, lexicographic within a batch) and the drained output
-    must equal DuckDB's `min(varchar doc_id) GROUP BY fingerprint`."""
+    ARRIVAL wins across batches, lexicographic min within a batch) and
+    the drained output must equal DuckDB's `min(varchar doc_id) GROUP
+    BY fingerprint`. That equality holds only when all duplicates of a
+    fingerprint arrive in ONE micro-batch (append mode cannot retract
+    an earlier winner), so the gate PINS the single-batch delivery:
+    the input is staged as a single coalesced parquet file and the
+    file source (no maxFilesPerTrigger) delivers it as one batch —
+    multi-file/multi-batch delivery would make first-arrival and
+    global-min legitimately diverge (ADVICE r2 #1)."""
     import shutil
 
     from areacity_query_geometry_spark.streaming import dedup_stream
 
     stage = "/tmp/aqgs_stream_dedup_gate"
     shutil.rmtree(stage, ignore_errors=True)
-    ev_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(ev_schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
-    docs = stream.selectExpr("CAST(doc_id AS STRING) AS doc_id",
-                             "md5(lower(text)) AS fp")
-    out = dedup_stream.stream_dedup_exact(docs)
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .selectExpr("CAST(doc_id AS STRING) AS doc_id",
+                 "md5(lower(text)) AS fp")
+     .coalesce(1).write.mode("overwrite").parquet(f"{stage}/in"))
+    stream = (spark.readStream.schema("doc_id string, fp string")
+              .parquet(f"{stage}/in"))
+    out = dedup_stream.stream_dedup_exact(stream)
     tbl = "stream_dedup_gate"
     spark.catalog.dropTempView(tbl)
     q = (out.writeStream.format("memory").queryName(tbl)

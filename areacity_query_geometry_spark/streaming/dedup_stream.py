@@ -5,6 +5,13 @@ fingerprint passes through; every later duplicate — in the same or any
 later micro-batch — is dropped. State is one tiny record per
 fingerprint group and survives restarts via the query checkpoint.
 
+Cross-batch winner semantics: FIRST ARRIVAL wins (append mode cannot
+retract an already-emitted row), with lexicographic min(doc_id) as the
+deterministic tie-break WITHIN a batch. Output equals the batch
+`min(doc_id) GROUP BY fp` only when every duplicate of a fingerprint
+lands in one micro-batch — gates that assert that equality must stage
+their input as a single file (see stream_dedup_gate).
+
 At 100 TB scale this is the canonical "dedup the firehose" shape: the
 stream shuffles once on the fingerprint (the groupBy key), state is
 per-key and O(1), and no batch-global structure exists anywhere.
