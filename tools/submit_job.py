@@ -13,18 +13,21 @@ spark-submit command line, e.g.:
         tools/submit_job.py 100000000
 
 Prints ONE JSON line: {"cpus": ..., "n": ..., "sec": ..., "throughput":
-..., "hits": ...} (best of 3 steady-state runs, matching the
-reference's steady-state QPS methodology, Test.java:437-603).
+..., "hits": ..., "runs_sec": [...], "runs_steal_pct": [...]} —
+best of 3 steady-state runs (the reference's steady-state QPS
+methodology, Test.java:437-603), with EVERY run's elapsed time and its
+window's /proc/stat steal%% recorded so the figure carries its own
+host-conditions evidence (VERDICT r2 next-round #1).
 """
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 from pyspark.sql import SparkSession, functions as F
 
 from areacity_query_geometry_spark.engine import SpatialEngine
+from areacity_query_geometry_spark.hostload import TimedRuns
 
 GEOJSON = "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json"
 
@@ -35,22 +38,26 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 
-    eng = SpatialEngine.from_geojson(spark, GEOJSON, base_res=13)
+    build = TimedRuns()
+    eng = build.run(lambda: SpatialEngine.from_geojson(
+        spark, GEOJSON, base_res=13))
     probes = spark.range(n).select(
         F.col("id").alias("point_id"),
         (73.0 + (F.col("id") * 37 % 62000) / 1000.0).alias("lng"),
         (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
     )
     eng.query_points(probes.sample(0.02, seed=1), with_props=False).count()  # warm
-    best = None
+    timed = TimedRuns()
     hits = 0
     for _ in range(3):
-        t0 = time.time()
-        hits = eng.query_points(probes, with_props=False).count()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    print(json.dumps({"cpus": cpus, "n": n, "sec": round(best, 3),
-                      "throughput": round(n / best, 1), "hits": hits}))
+        hits = timed.run(
+            lambda: eng.query_points(probes, with_props=False).count())
+    print(json.dumps({
+        "cpus": cpus, "n": n, "sec": timed.best,
+        "throughput": round(n / timed.best, 1), "hits": hits,
+        "build_sec": build.best, "build_steal_pct": build.steals[0],
+        **timed.detail(),
+    }))
     spark.stop()
 
 
