@@ -763,6 +763,29 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "px_sum", "px_poshash")
 
 
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode, value-checked: each audio span
+    materializes as actual RIFF/WAVE PCM-16 bytes
+    (functions/media.py encode_wav_pcm16), then decode_wav_pcm16 walks
+    the chunk list and parses the little-endian signed samples. Samples
+    derive from sha256(ref) byte pairs, so the DuckDB oracle recomputes
+    the position-weighted statistics from hash arithmetic alone — a
+    byte-order, signedness, or chunk-alignment mistake cannot match."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://wav/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    blobs = media.synthesize_wav(spans, n_samples=37, rate=16000)
+    out = media.decode_audio_wav(blobs)
+    return out.select("doc_id", "n_samples", "rate",
+                      "sample_sum", "sample_poshash")
+
+
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
     documents, deterministic tie-break on doc_id. Spark plans this as
@@ -1582,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "media_image_decode": media_image_decode,
         "media_png_decode": media_png_decode,
+        "media_wav_decode": media_wav_decode,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
         "top_docs_by_quality": top_docs_by_quality,
@@ -2206,6 +2230,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(7 AS BIGINT) AS width,
                    CAST(11 AS BIGINT) AS height, px_sum, px_poshash
             FROM px
+        """,
+        "media_wav_decode": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://wav/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            s AS (
+                -- sample k = int16-LE from digest bytes (2k, 2k+1) of
+                -- the repeated sha256(ref) stream
+                SELECT doc_id, k,
+                       CAST(('0x' || substr(sha256(ref), 2*((2*k) % 32)+1, 2)) AS BIGINT)
+                       + 256 * CAST(('0x' || substr(sha256(ref), 2*((2*k+1) % 32)+1, 2)) AS BIGINT)
+                       AS uval
+                FROM d CROSS JOIN range(0, 37) t(k)
+            ),
+            sv AS (
+                SELECT doc_id, k,
+                       CASE WHEN uval >= 32768 THEN uval - 65536 ELSE uval END AS val
+                FROM s
+            )
+            SELECT doc_id, CAST(37 AS BIGINT) AS n_samples,
+                   CAST(16000 AS BIGINT) AS rate,
+                   CAST(sum(val) AS BIGINT) AS sample_sum,
+                   CAST(sum(val * (k + 1)) AS BIGINT) AS sample_poshash
+            FROM sv GROUP BY doc_id
         """,
         "raster_coverage": f"""
             WITH cells AS (
