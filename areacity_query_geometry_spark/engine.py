@@ -816,7 +816,8 @@ class SpatialEngine:
         return self._finish_tolerance(base_out, dists, k)
 
     def _dists_unlimited_iterative(self, misses: DataFrame,
-                                   tiles_b: DataFrame, k: int) -> DataFrame:
+                                   tiles_b: DataFrame, k: int,
+                                   small_direct: int = 100_000) -> DataFrame:
         """tolerance=-1 distance stage without materializing the miss
         set on the driver (any miss-set size): per-round radius
         doubling. Each round covers every active point's radius-r bbox
@@ -937,7 +938,14 @@ class SpatialEngine:
         n_prev = active.count()  # scalar control-flow action
         w = Window.partitionBy("point_id", "deep").orderBy("dist_m", "region_id")
         while True:
-            if r >= r_switch:
+            # direct-to-terminal fast paths: (a) the remaining frontier
+            # is small enough that the exact cogrouped scan is cheaper
+            # than ANY round's fixed job overhead (small_direct is
+            # (point,deep)-pair count — ~10 Spark jobs of cover-round
+            # machinery never beat a sub-second full scan), (b) the
+            # radius has reached the extent span so the cover prunes
+            # nothing anyway
+            if r >= r_switch or n_prev <= small_direct:
                 parts.append(self._dists_full_scan(active, tiles_b))
                 break
             act_pts = active.groupBy("point_id", "lng", "lat").agg(

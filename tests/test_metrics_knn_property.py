@@ -26,6 +26,36 @@ class TestMetrics:
 
 
 class TestKnn:
+    def test_iterative_rounds_equal_direct_scan(self, spark, province_engine):
+        """Force the radius-doubling cover rounds (small_direct=0) and
+        assert they produce the same winners as the direct terminal
+        scan (small_direct=huge) — the gates usually take the
+        small-input fast path, so this is the rounds' coverage."""
+        from pyspark.sql import functions as F
+
+        pts = spark.createDataFrame(
+            [(i, 121.9 + i * 0.01, 29.5 + i * 0.01) for i in range(8)],
+            "point_id long, lng double, lat double")
+        tiles = province_engine.tiles.filter(F.col("kind") == 0)
+
+        from pyspark.sql import Window
+
+        def winners(small_direct):
+            d = province_engine._dists_unlimited_iterative(
+                pts, tiles, 2, small_direct=small_direct)
+            per = d.groupBy("point_id", "region_id") \
+                   .agg(F.min("dist_m").alias("dist_m")) \
+                   .join(province_engine.boundaries.select("region_id", "deep"),
+                         "region_id")
+            w = Window.partitionBy("point_id", "deep") \
+                      .orderBy("dist_m", "region_id")
+            top = per.withColumn("rn", F.row_number().over(w)) \
+                     .filter(F.col("rn") <= 2)
+            return sorted((r.point_id, r.deep, r.region_id,
+                           round(r.dist_m, 6)) for r in top.collect())
+
+        assert winners(0) == winners(10**9)
+
     def test_k2_returns_two_per_level(self, spark, province_engine):
         pts = spark.createDataFrame(
             [(0, 121.993491, 29.524288)], "point_id long, lng double, lat double")
