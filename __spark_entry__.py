@@ -786,6 +786,50 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sample_sum", "sample_poshash")
 
 
+def media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, value-checked end to end: real PNG bytes →
+    decode_png_gray8 → aspect-preserving nearest-neighbor downsample
+    (7×11 → 2×4, exact integer index arithmetic) → position-weighted
+    thumbnail statistics. The DuckDB oracle recomputes every thumbnail
+    pixel straight from the sha256 source-pixel derivation plus the
+    same floor-index resample formula — decode AND resample arithmetic
+    are both hash-gated."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://png/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    imgs = media.synthesize_png(spans, w=7, h=11)
+    out = media.resize_images_real(imgs, max_side=4, codec="png")
+    return out.select("doc_id", "tw", "th", "thumb_sum", "thumb_poshash")
+
+
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling, value-checked: real WAV bytes →
+    decode_wav_pcm16 → 16-sample frames (37 samples → frames of 16, 16,
+    5) → per-frame Σs and Σs² rows (the explode-shaped stage every A/V
+    pipeline runs). The oracle regroups the sha256-derived samples by
+    floor(k/16)."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://wav/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    blobs = media.synthesize_wav(spans, n_samples=37, rate=16000)
+    out = media.sample_audio_frames(blobs, frame_len=16)
+    return out.select("doc_id",
+                      F.col("frame_no").cast("long").alias("frame_no"),
+                      "frame_sum", "frame_energy")
+
+
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
     documents, deterministic tie-break on doc_id. Spark plans this as
@@ -1606,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_decode": media_image_decode,
         "media_png_decode": media_png_decode,
         "media_wav_decode": media_wav_decode,
+        "media_resize_real": media_resize_real,
+        "media_audio_frames": media_audio_frames,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
         "top_docs_by_quality": top_docs_by_quality,
@@ -2256,6 +2302,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(val) AS BIGINT) AS sample_sum,
                    CAST(sum(val * (k + 1)) AS BIGINT) AS sample_poshash
             FROM sv GROUP BY doc_id
+        """,
+        "media_resize_real": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://png/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            t AS (
+                -- thumb pixel (i,j) of a 7x11 -> 2x4 nearest-neighbor
+                -- resample: source row (i*11)//4, col (j*7)//2; source
+                -- pixel (r,c) = byte (r*7+c mod 32) of sha256(ref)
+                SELECT doc_id, i, j,
+                       CAST(('0x' || substr(sha256(ref),
+                            2*((((i*11)//4)*7 + (j*7)//2) % 32) + 1, 2))
+                            AS BIGINT) AS val
+                FROM d CROSS JOIN range(0, 4) ti(i) CROSS JOIN range(0, 2) tj(j)
+            )
+            SELECT doc_id, CAST(2 AS BIGINT) AS tw, CAST(4 AS BIGINT) AS th,
+                   CAST(sum(val) AS BIGINT) AS thumb_sum,
+                   CAST(sum(val * (i * 2 + j + 1)) AS BIGINT) AS thumb_poshash
+            FROM t GROUP BY doc_id
+        """,
+        "media_audio_frames": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://wav/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            s AS (
+                SELECT doc_id, k,
+                       CAST(('0x' || substr(sha256(ref), 2*((2*k) % 32)+1, 2)) AS BIGINT)
+                       + 256 * CAST(('0x' || substr(sha256(ref), 2*((2*k+1) % 32)+1, 2)) AS BIGINT)
+                       AS uval
+                FROM d CROSS JOIN range(0, 37) t(k)
+            ),
+            sv AS (
+                SELECT doc_id, k,
+                       CASE WHEN uval >= 32768 THEN uval - 65536 ELSE uval END AS val
+                FROM s
+            )
+            SELECT doc_id, CAST(k // 16 AS BIGINT) AS frame_no,
+                   CAST(sum(val) AS BIGINT) AS frame_sum,
+                   CAST(sum(val * val) AS BIGINT) AS frame_energy
+            FROM sv GROUP BY doc_id, k // 16
         """,
         "raster_coverage": f"""
             WITH cells AS (

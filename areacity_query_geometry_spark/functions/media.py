@@ -464,6 +464,104 @@ def decode_audio_wav(blobs: DataFrame, bytes_col: str = "img") -> DataFrame:
     return blobs.mapInPandas(fn, AUDIO_DECODE_SCHEMA)
 
 
+def resize_gray8_nn(px: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor downsample of an (h, w) uint8
+    image to fit max_side: thumb[i, j] = px[floor(i*h/th), floor(j*w/tw)]
+    — exact integer index arithmetic, so an independent oracle can
+    recompute any thumbnail pixel from the source pixels alone."""
+    h, w = px.shape
+    if w >= h:
+        tw = min(max_side, w)
+        th = max(1, (h * tw) // w)
+    else:
+        th = min(max_side, h)
+        tw = max(1, (w * th) // h)
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return px[np.ix_(rows, cols)]
+
+
+RESIZE_REAL_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("tw", LongType()),
+    StructField("th", LongType()),
+    StructField("thumb_sum", LongType()),
+    StructField("thumb_poshash", LongType()),
+])
+
+
+def resize_images_real(imgs: DataFrame, max_side: int = 4,
+                       bytes_col: str = "img",
+                       codec: str = "png") -> DataFrame:
+    """REAL resize stage: decode actual container bytes (PNG or BMP),
+    nearest-neighbor downsample to max_side, emit position-weighted
+    thumbnail statistics — decode AND resample arithmetic are both
+    value-checkable."""
+    decode = decode_png_gray8 if codec == "png" else decode_bmp_gray8
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            tws, ths, sums, poss = [], [], [], []
+            for b in pdf[bytes_col]:
+                t = resize_gray8_nn(decode(bytes(b)), max_side)
+                th, tw = t.shape
+                flat = t.astype(np.int64).ravel()
+                tws.append(tw)
+                ths.append(th)
+                sums.append(int(flat.sum()))
+                poss.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["tw"] = pd.Series(tws, dtype="int64")
+            out["th"] = pd.Series(ths, dtype="int64")
+            out["thumb_sum"] = pd.Series(sums, dtype="int64")
+            out["thumb_poshash"] = pd.Series(poss, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(fn, RESIZE_REAL_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_sum", LongType()),
+    StructField("frame_energy", LongType()),
+])
+
+
+def sample_audio_frames(blobs: DataFrame, frame_len: int = 16,
+                        bytes_col: str = "img") -> DataFrame:
+    """REAL frame-sample stage for audio: decode RIFF/PCM-16, split into
+    frame_len-sample frames (last partial frame kept), one output row
+    per frame with Σs and Σs² — the explode-shaped mapInPandas every
+    A/V pipeline uses, on genuinely decoded samples."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "span_idx", "frame_no",
+                                    "frame_sum", "frame_energy")}
+            for did, sidx, b in zip(pdf["doc_id"], pdf["span_idx"],
+                                    pdf[bytes_col]):
+                samples, _rate = decode_wav_pcm16(bytes(b))
+                s = samples.astype(np.int64)
+                for f0 in range(0, len(s), frame_len):
+                    seg = s[f0:f0 + frame_len]
+                    rows["doc_id"].append(did)
+                    rows["span_idx"].append(sidx)
+                    rows["frame_no"].append(f0 // frame_len)
+                    rows["frame_sum"].append(int(seg.sum()))
+                    rows["frame_energy"].append(int((seg * seg).sum()))
+            out = pd.DataFrame(rows)
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["frame_no"] = out["frame_no"].astype("int32")
+            out["frame_sum"] = out["frame_sum"].astype("int64")
+            out["frame_energy"] = out["frame_energy"].astype("int64")
+            yield out
+
+    return blobs.mapInPandas(fn, AUDIO_FRAME_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType([
     StructField("doc_id", StringType()),
     StructField("span_idx", IntegerType()),

@@ -121,6 +121,46 @@ def test_png_rejects_corruption_and_foreign_forms():
         media.decode_png_gray8(b"BM" + bytes(30))
 
 
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=17),
+    max_side=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nn_matches_naive(w, h, max_side, seed):
+    """Vectorized nearest-neighbor resample ≡ the naive per-pixel
+    definition thumb[i,j] = px[(i*h)//th, (j*w)//tw]."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    t = media.resize_gray8_nn(px, max_side)
+    th, tw = t.shape
+    assert max(th, tw) <= max(max_side, 1)
+    for i in range(th):
+        for j in range(tw):
+            assert t[i, j] == px[(i * h) // th, (j * w) // tw]
+
+
+def test_resize_real_spark_stage(spark):
+    import hashlib
+
+    spans = spark.createDataFrame(
+        [(str(i), 1, f"blob://png/{i}") for i in range(5)],
+        "doc_id string, span_idx int, ref string")
+    imgs = media.synthesize_png(spans, w=7, h=11)
+    rows = {r.doc_id: r for r in
+            media.resize_images_real(imgs, max_side=4, codec="png").collect()}
+    for i in range(5):
+        d = hashlib.sha256(f"blob://png/{i}".encode()).digest()
+        px = np.frombuffer((d * 3)[:77], dtype=np.uint8).reshape(11, 7)
+        t = media.resize_gray8_nn(px, 4)
+        r = rows[str(i)]
+        assert (r.tw, r.th) == (t.shape[1], t.shape[0])
+        flat = t.astype(np.int64).ravel()
+        assert r.thumb_sum == int(flat.sum())
+        assert r.thumb_poshash == int((flat * (np.arange(flat.size) + 1)).sum())
+
+
 def test_png_spark_stage_end_to_end(spark):
     spans = spark.createDataFrame(
         [(str(i), 1, f"blob://png/{i}") for i in range(8)],

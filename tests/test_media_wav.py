@@ -56,6 +56,23 @@ def test_wav_rejects_foreign_forms():
         media.decode_wav_pcm16(bytes(data))
 
 
+def test_audio_frames_spark_stage(spark):
+    import hashlib
+
+    spans = spark.createDataFrame(
+        [("7", 1, "blob://wav/7")], "doc_id string, span_idx int, ref string")
+    blobs = media.synthesize_wav(spans, n_samples=37, rate=16000)
+    rows = sorted(media.sample_audio_frames(blobs, frame_len=16).collect(),
+                  key=lambda r: r.frame_no)
+    d = hashlib.sha256(b"blob://wav/7").digest()
+    s = np.frombuffer((d * 3)[:74], dtype="<i2").astype(np.int64)
+    assert [r.frame_no for r in rows] == [0, 1, 2]
+    for r in rows:
+        seg = s[r.frame_no * 16:(r.frame_no + 1) * 16]
+        assert r.frame_sum == int(seg.sum())
+        assert r.frame_energy == int((seg * seg).sum())
+
+
 def test_wav_spark_stage_end_to_end(spark):
     import hashlib
 
