@@ -79,6 +79,28 @@ def test_querygeometry_rect_and_bad_wkt(server):
     assert code == 500 and env["c"] == 500
 
 
+def test_querygeometry_arbitrary_wkt_types(server):
+    """The reference's HTTP surface accepts ANY WKT
+    (Test_HttpApiServer.java:117-137) — MULTILINESTRING, MULTIPOINT and
+    GEOMETRYCOLLECTION probes must answer, not 500."""
+    code, env = _get(server, "/0/querygeometry",
+                     wkt="MULTILINESTRING ((1.5 1.5, 1.5 6.5), (21 21, 22 22))")
+    assert code == 200
+    names = {json.loads(p)["name"] for p in env["v"]["list"]}
+    assert {"D00", "D01", "C22", "D44"} <= names  # both parts' hits union
+    code, env = _get(server, "/0/querygeometry",
+                     wkt="MULTIPOINT ((1.5 1.5), (21 21))")
+    assert code == 200
+    names = {json.loads(p)["name"] for p in env["v"]["list"]}
+    assert {"D00", "D44"} <= names
+    code, env = _get(server, "/0/querygeometry",
+                     wkt="GEOMETRYCOLLECTION (POINT (1.5 1.5), "
+                         "LINESTRING (21 21, 22 22))")
+    assert code == 200
+    names = {json.loads(p)["name"] for p in env["v"]["list"]}
+    assert {"D00", "D44"} <= names
+
+
 def test_readwkt_where_and_payload(server):
     code, env = _get(server, "/0/readwkt", where="id = 'S1'")
     assert code == 200
