@@ -830,6 +830,33 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "frame_sum", "frame_energy")
 
 
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, value-checked: each video span
+    materializes as actual RIFF/AVI bytes (functions/media.py
+    encode_avi_gray8 — nested hdrl/strl/movi LIST tree, idx1 index,
+    uncompressed 8-bit DIB frames with bottom-up rows and 4-byte stride
+    padding; 6×5 frames so each row carries 2 padding bytes), then
+    sample_video_frames walks the container and keeps every 2nd frame
+    (0, 2 of 4). Frame f's pixel k derives from sha256(ref) byte
+    (f·30+k mod 32), so the DuckDB oracle recomputes the
+    position-weighted per-frame statistics from hash arithmetic alone —
+    a frame-order, row-order, or stride mistake cannot match."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://avi/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    blobs = media.synthesize_avi(spans, w=6, h=5, n_frames=4, fps=10)
+    out = media.sample_video_frames(blobs, every_n=2)
+    return out.select("doc_id",
+                      F.col("frame_no").cast("long").alias("frame_no"),
+                      "px_sum", "px_poshash")
+
+
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
     documents, deterministic tie-break on doc_id. Spark plans this as
@@ -1538,6 +1565,111 @@ def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split — the assignment every
+    training-data pipeline needs to be reproducible across reruns and
+    engines: bucket = first-16-bits-of-md5(doc_id) mod 100, 80/10/10.
+    Pure hash arithmetic (no RNG, no sampling state), so the same doc
+    lands in the same split on any cluster size or row order; at
+    100 TB it is an embarrassingly parallel map over the scan — no
+    shuffle at all."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(bucket AS BIGINT) AS bucket
+        FROM (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+                       % 100 AS bucket
+            FROM documents
+        )
+    """)
+
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents pack into
+    512-token chunks per hash shard — chunk_id = floor(running-token-
+    offset / 512) over the shard's doc_id order, chunk_off = the doc's
+    start offset inside its chunk (the offset-chunk assignment corpus
+    sharding uses before tokenizer batching).
+
+    Spark shape: one hash-shard shuffle (shard = md5-derived, 8 here,
+    O(cluster) in production) + a WINDOWED cumulative sum per shard —
+    never a global single-partition window; each shard's packing is an
+    independent sorted stream, so the plan scales by adding shards.
+    The DuckDB oracle runs the identical integer window arithmetic."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH t AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+                       % 8 AS shard,
+                   CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - n_tokens AS off
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(off / 512) AS BIGINT) AS chunk_id,
+               CAST(off % 512 AS BIGINT) AS chunk_off
+        FROM c
+    """)
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the pretraining-pipeline step that
+    removes training documents sharing any verbatim n-gram with the
+    held-out eval set (here: docs with doc_id % 97 == 0 stand in as
+    the eval split; n=3 so the fixture's small random vocabulary
+    actually collides — production uses n≈8-13, same plan). Output:
+    every train doc flagged contaminated or clean.
+
+    Spark shape for 100 TB: the eval side is tiny relative to train,
+    so its DISTINCT 8-gram set builds in one small aggregation and
+    BROADCASTS; the train side is a map-side transform+explode
+    (sequence/slice/concat_ws — all codegen'd, no Python) feeding a
+    broadcast LEFT SEMI join, then one doc_id group-by. Train data
+    never shuffles by gram; only (doc_id) aggregates — the same
+    scan-heavy/shuffle-light shape the MinHash gates use. The DuckDB
+    oracle recomputes grams with list_transform/unnest."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH s AS (
+            SELECT doc_id, split(text, ' ') AS w FROM documents
+        ),
+        eval_grams AS (
+            SELECT DISTINCT g FROM (
+                SELECT explode(transform(sequence(1, size(w) - 2),
+                               i -> concat_ws(' ', slice(w, i, 3)))) AS g
+                FROM s WHERE doc_id % 97 = 0 AND size(w) >= 3
+            )
+        ),
+        hit AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       explode(transform(sequence(1, size(w) - 2),
+                               i -> concat_ws(' ', slice(w, i, 3)))) AS g
+                FROM s WHERE doc_id % 97 != 0 AND size(w) >= 3
+            ) t
+            WHERE g IN (SELECT g FROM eval_grams)
+        )
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(size(s.w) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS contaminated
+        FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
+        WHERE s.doc_id % 97 != 0
+    """)
+
+
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the MinHash-LSH
     candidate-pair graph (the step every real dedup pipeline runs after
@@ -1652,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": media_wav_decode,
         "media_resize_real": media_resize_real,
         "media_audio_frames": media_audio_frames,
+        "media_video_frames": media_video_frames,
         "region_doc_rollup": region_doc_rollup,
         "corpus_curation": corpus_curation,
         "top_docs_by_quality": top_docs_by_quality,
@@ -1679,6 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_ann_ivf": embedding_ann_ivf,
         "doc_token_bpe": doc_token_bpe,
+        "doc_split_assign": doc_split_assign,
+        "doc_pack_chunks": doc_pack_chunks,
+        "doc_decontaminate": doc_decontaminate,
     }
 
 
@@ -2347,6 +2483,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(val * val) AS BIGINT) AS frame_energy
             FROM sv GROUP BY doc_id, k // 16
         """,
+        "media_video_frames": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://avi/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            px AS (
+                -- sampled frames 0 and 2 (every_n=2 of 4); frame f's
+                -- pixel k (row-major, 6x5=30 px) = byte ((f*30+k) mod
+                -- 32) of sha256(ref) — only the container (AVI LIST
+                -- tree, DIB stride/flip) differs from the image gates
+                SELECT doc_id, f, k,
+                       CAST(('0x' || substr(sha256(ref),
+                            2*((f*30 + k) % 32) + 1, 2)) AS BIGINT) AS val
+                FROM d
+                CROSS JOIN (SELECT 0 AS f UNION ALL SELECT 2) tf
+                CROSS JOIN range(0, 30) t(k)
+            )
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+                   CAST(sum(val) AS BIGINT) AS px_sum,
+                   CAST(sum(val * (k + 1)) AS BIGINT) AS px_poshash
+            FROM px GROUP BY doc_id, f
+        """,
         "raster_coverage": f"""
             WITH cells AS (
                 SELECT -180.0 + i * 5.625 AS cx0, -90.0 + j * 5.625 AS cy0,
@@ -2627,6 +2786,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
                    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct_tokens
             FROM documents
+        """,
+        "doc_split_assign": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(bucket AS BIGINT) AS bucket
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                           % 100 AS bucket
+                FROM documents
+            )
+        """,
+        "doc_pack_chunks": """
+            WITH t AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                           % 8 AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) - n_tokens AS off
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(off / 512) AS BIGINT) AS chunk_id,
+                   CAST(off % 512 AS BIGINT) AS chunk_off
+            FROM c
+        """,
+        "doc_decontaminate": """
+            WITH s AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            eval_grams AS (
+                SELECT DISTINCT unnest(list_transform(
+                           range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS g
+                FROM s WHERE doc_id % 97 = 0 AND len(w) >= 3
+            ),
+            hit AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(list_transform(
+                               range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+                    FROM s WHERE doc_id % 97 != 0 AND len(w) >= 3
+                ) t
+                WHERE g IN (SELECT g FROM eval_grams)
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(s.w) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS contaminated
+            FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
+            WHERE s.doc_id % 97 != 0
         """,
         "embedding_topk_cosine": """
             WITH e AS (

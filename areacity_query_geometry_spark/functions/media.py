@@ -16,6 +16,10 @@ Decode paths:
 - BINARY audio columns: `decode_wav_pcm16` parses real RIFF/WAVE
   (chunk walk with word alignment, PCM mono 16-bit LE) — the Spark
   stage `decode_audio_wav` runs it Arrow-batched.
+- BINARY video columns: `decode_avi_gray8` parses real RIFF/AVI
+  (nested hdrl/strl/movi LIST tree, uncompressed 8-bit DIB frames
+  with stride padding and bottom-up rows) — the Spark stage
+  `sample_video_frames` strides through the decoded frames.
 - ref-only spans (compressed formats, remote blobs): the decoders (PIL
   / torchaudio / av) are NOT in this container, so `decode_media`
   raises NotImplementedError unless `fake=True`, which produces a
@@ -290,6 +294,111 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# ------------------------------------------------------------- AVI codec
+# Real video container handling with the stdlib only: RIFF 'AVI ' with
+# the canonical LIST tree — hdrl(avih, strl(strh 'vids'/'DIB ', strf
+# BITMAPINFOHEADER + 256-entry gray palette)), movi('00db' uncompressed
+# DIB frames: bottom-up rows, 4-byte stride padding, same pitfalls as
+# BMP), idx1 — the minimal real format a video frame-sample stage must
+# walk (nested LISTs, per-frame chunks, DIB row geometry).
+
+
+def encode_avi_gray8(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w) uint8 array → RIFF/AVI bytes ('00db' uncompressed
+    8-bit DIB frames, bottom-up rows padded to 4-byte stride)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    stride = (w + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", tag + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_size, 0, 0, 0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_size, 0, 0, 256, 0
+    ) + b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    dibs = []
+    for f in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = frames[f][::-1]  # bottom-up like BMP
+        dibs.append(rows.tobytes())
+    movi_payload = b"".join(chunk(b"00db", d) for d in dibs)
+    movi = lst(b"movi", movi_payload)
+
+    idx, off = [], 4  # offsets relative to the start of 'movi' fourcc
+    for d in dibs:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(d)))
+        off += 8 + len(d) + (len(d) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_gray8(data: bytes) -> np.ndarray:
+    """RIFF/AVI bytes → (n, h, w) uint8 frames. Walks the nested LIST
+    tree (tolerating JUNK/extra chunks), validates the 8-bit
+    uncompressed-DIB strf, collects '00db' frames from movi in order,
+    and undoes the stride padding + bottom-up row order."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    w = h = n = None
+    bitcount = compression = None
+    dibs: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, n, bitcount, compression
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            payload_at = pos + 8
+            if tag == b"LIST":
+                walk(payload_at + 4, payload_at + ln)  # skip list type
+            elif tag == b"avih":
+                vals = struct.unpack_from("<10I", data, payload_at)
+                n, w, h = vals[4], vals[8], vals[9]
+            elif tag == b"strf":
+                (_sz, bw, bh, _pl, bitcount, compression) = struct.unpack_from(
+                    "<IiiHHI", data, payload_at)
+            elif tag == b"00db":
+                dibs.append(data[payload_at:payload_at + ln])
+            pos = payload_at + ln + (ln & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if w is None or not dibs:
+        raise ValueError("AVI missing avih or frame chunks")
+    if (bitcount, compression) != (8, 0):
+        raise ValueError(
+            f"only 8-bit uncompressed DIB frames supported, got "
+            f"bits={bitcount} compression={compression}")
+    if n != len(dibs):
+        raise ValueError(f"avih says {n} frames, movi carries {len(dibs)}")
+    stride = (w + 3) & ~3
+    out = np.empty((len(dibs), h, w), dtype=np.uint8)
+    for f, d in enumerate(dibs):
+        if len(d) != stride * h:
+            raise ValueError(f"frame {f}: {len(d)} bytes != stride*h")
+        out[f] = np.frombuffer(d, dtype=np.uint8).reshape(h, stride)[
+            ::-1, :w]
+    return out
+
+
 IMAGE_BYTES_SCHEMA = StructType([
     StructField("doc_id", StringType()),
     StructField("span_idx", IntegerType()),
@@ -560,6 +669,73 @@ def sample_audio_frames(blobs: DataFrame, frame_len: int = 16,
             yield out
 
     return blobs.mapInPandas(fn, AUDIO_FRAME_SCHEMA)
+
+
+def synthesize_avi(spans: DataFrame, ref_col: str = "ref",
+                   w: int = 6, h: int = 5, n_frames: int = 4,
+                   fps: int = 10) -> DataFrame:
+    """Blob-fetch stand-in for the video path: each span as REAL
+    RIFF/AVI bytes (uncompressed 8-bit DIB frames). Frame f's pixel at
+    row-major position k is byte ((f*w*h + k) mod 32) of sha256(ref) —
+    the same digest-stream derivation as the image/audio gates, so a
+    SQL oracle recomputes any frame statistic without parsing AVI."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            total = n_frames * w * h
+            for ref in pdf[ref_col]:
+                d = hashlib.sha256(ref.encode()).digest()
+                reps = (total + len(d) - 1) // len(d)
+                px = np.frombuffer((d * reps)[:total], dtype=np.uint8)
+                blobs.append(encode_avi_gray8(
+                    px.reshape(n_frames, h, w), fps))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["img"] = blobs
+            yield out
+
+    return spans.mapInPandas(fn, IMAGE_BYTES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("frame_no", IntegerType()),
+    StructField("px_sum", LongType()),
+    StructField("px_poshash", LongType()),
+])
+
+
+def sample_video_frames(blobs: DataFrame, every_n: int = 2,
+                        bytes_col: str = "img") -> DataFrame:
+    """REAL video frame-sample stage: decode RIFF/AVI (nested LIST
+    walk, DIB stride/flip), keep frames 0, every_n, 2·every_n, …, one
+    output row per sampled frame with position-weighted pixel
+    statistics — a decoder that mangled the frame order, row order, or
+    stride padding cannot match the oracle."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "span_idx", "frame_no",
+                                    "px_sum", "px_poshash")}
+            for did, sidx, b in zip(pdf["doc_id"], pdf["span_idx"],
+                                    pdf[bytes_col]):
+                frames = decode_avi_gray8(bytes(b))
+                for fno in range(0, len(frames), every_n):
+                    flat = frames[fno].astype(np.int64).ravel()
+                    rows["doc_id"].append(did)
+                    rows["span_idx"].append(sidx)
+                    rows["frame_no"].append(fno)
+                    rows["px_sum"].append(int(flat.sum()))
+                    rows["px_poshash"].append(
+                        int((flat * (np.arange(flat.size) + 1)).sum()))
+            out = pd.DataFrame(rows)
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["frame_no"] = out["frame_no"].astype("int32")
+            out["px_sum"] = out["px_sum"].astype("int64")
+            out["px_poshash"] = out["px_poshash"].astype("int64")
+            yield out
+
+    return blobs.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType([
