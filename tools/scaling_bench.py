@@ -46,7 +46,9 @@ def run(cpus: int, lookups: int) -> dict:
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
-    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+    # LANG must be a UTF-8 locale or the JVM's file-path encoding falls
+    # back to ASCII and PATH_NOT_FOUNDs the unicode geojson fixture
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", LANG="C.UTF-8")
     with tempfile.TemporaryDirectory() as neutral_cwd:
         out = subprocess.run(
             [spark_submit,
@@ -103,7 +105,9 @@ def main():
         if big is None or b["sec"] < big["sec"]:
             big = b
     eff = big["throughput"] / small["throughput"] / 4.0
-    result = {"N": small, "4N": big, "scaling_efficiency": round(eff, 3)}
+    d_eff = big["docs_throughput"] / small["docs_throughput"] / 4.0
+    result = {"N": small, "4N": big, "scaling_efficiency": round(eff, 3),
+              "docs_scaling_efficiency": round(d_eff, 3)}
     print(json.dumps(result))
 
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -137,6 +141,22 @@ the local[{n_small * 4}] column and scaling multiplies across nodes.
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 (target ≥ 0.8)
+
+Second leg, the north-star DOCS-TABLE shape: an interleaved
+text+geo+media spans table ({max(1_000_000, lookups // 10):,} docs) is
+materialized to parquet first (untimed), then each timed run pays the
+pipeline a 100 TB table pays — columnar scan → posexplode → JVM geo
+parse → the same cell-grid join with (doc_id, span_idx) passthrough —
+in the same fresh JVMs:
+
+| config | elapsed (s) | docs/s | all runs (sec @ steal%) |
+|---|---|---|---|
+| local[{small['cpus']}] (N) | {small['docs_sec']} | {small['docs_throughput']:,.0f} | {", ".join(f"{s}s @ {st}%" for s, st in zip(small.get('docs_runs_sec', []), small.get('docs_runs_steal_pct', [])))} |
+| local[{big['cpus']}] (4N) | {big['docs_sec']} | {big['docs_throughput']:,.0f} | {", ".join(f"{s}s @ {st}%" for s, st in zip(big.get('docs_runs_sec', []), big.get('docs_runs_steal_pct', [])))} |
+
+**Docs-join scaling efficiency = {d_eff:.3f}** (hit counts
+{small['docs_hits']} == {big['docs_hits']}:
+{'OK' if small['docs_hits'] == big['docs_hits'] else 'MISMATCH'})
 
 Honest variance band (why every figure above now carries per-run
 steal%): this Firecracker guest shares CPUs AND memory bandwidth with

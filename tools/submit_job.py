@@ -52,11 +52,55 @@ def main():
     for _ in range(3):
         hits = timed.run(
             lambda: eng.query_points(probes, with_props=False).count())
+
+    # second leg: the north-star DOCS-TABLE shape — interleaved
+    # text+geo+media spans, MATERIALIZED to parquet first (untimed) so
+    # the timed runs measure the honest pipeline a 100 TB table pays:
+    # columnar scan → posexplode → JVM geo parse → the same cell-grid
+    # join, (doc_id, span_idx) passthrough (n/10 docs)
+    import shutil
+    import tempfile
+
+    from areacity_query_geometry_spark import docs as docsmod
+
+    n_docs = max(1_000_000, n // 10)
+    docs_dir = tempfile.mkdtemp(prefix="aqgs_docs_bench_")
+    try:
+        spark.range(n_docs).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            """array(
+              named_struct('kind','text','text','header',
+                           'media_ref',CAST(NULL AS STRING),'offset',0),
+              named_struct('kind','geo','text',
+                concat('geo:', CAST(73.0 + (id * 37 % 62000) / 1000.0 AS STRING),
+                       ',', CAST(18.0 + (id * 101 % 36000) / 1000.0 AS STRING)),
+                'media_ref',CAST(NULL AS STRING),'offset',1),
+              named_struct('kind','image','text',CAST(NULL AS STRING),
+                'media_ref', concat('blob://img/', CAST(id AS STRING)),'offset',2)
+            ) AS spans""",
+        ).repartition(cpus).write.mode("overwrite").parquet(docs_dir)
+        docs = spark.read.parquet(docs_dir)
+        pts = docsmod.geo_span_points(docs)
+        ids = ("doc_id", "span_idx")
+        eng.query_points(pts.sample(0.02, seed=1), with_props=False,
+                         id_cols=ids).count()  # warm
+        dtimed = TimedRuns()
+        dhits = 0
+        for _ in range(3):
+            dhits = dtimed.run(lambda: eng.query_points(
+                pts, with_props=False, id_cols=ids).count())
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
     print(json.dumps({
         "cpus": cpus, "n": n, "sec": timed.best,
         "throughput": round(n / timed.best, 1), "hits": hits,
         "build_sec": build.best, "build_steal_pct": build.steals[0],
         **timed.detail(),
+        "docs_n": n_docs, "docs_sec": dtimed.best,
+        "docs_throughput": round(n_docs / dtimed.best, 1),
+        "docs_hits": dhits,
+        "docs_runs_sec": dtimed.secs, "docs_runs_steal_pct": dtimed.steals,
     }))
     spark.stop()
 
