@@ -12,6 +12,29 @@ from __future__ import annotations
 import time
 
 
+def psi_snapshot() -> dict:
+    """Cumulative pressure-stall totals (µs) from /proc/pressure: the
+    'full' lines for cpu/io/memory. Empty dict if PSI is unavailable.
+    Steal%% misses two real host effects this catches: virtio-disk
+    stalls (io.full) and memory reclaim (memory.full)."""
+    out = {}
+    for kind in ("cpu", "io", "memory"):
+        try:
+            with open(f"/proc/pressure/{kind}") as f:
+                for line in f:
+                    if line.startswith("full"):
+                        out[kind] = int(line.rsplit("total=", 1)[1])
+        except (OSError, ValueError, IndexError):
+            pass
+    return out
+
+
+def psi_stall_sec(before: dict, after: dict) -> dict:
+    """Per-kind full-stall seconds between two psi snapshots."""
+    return {k: round((after[k] - before[k]) / 1e6, 2)
+            for k in after if k in before}
+
+
 def cpu_snapshot() -> tuple[int, int]:
     """(total_jiffies, steal_jiffies) from /proc/stat's cpu line."""
     try:
@@ -39,14 +62,17 @@ class TimedRuns:
     def __init__(self) -> None:
         self.secs: list[float] = []
         self.steals: list[float] = []
+        self.stalls: list[dict] = []
 
     def run(self, fn):
         snap = cpu_snapshot()
+        psi0 = psi_snapshot()
         t0 = time.time()
         result = fn()
         dt = time.time() - t0
         self.secs.append(round(dt, 3))
         self.steals.append(steal_pct(snap, cpu_snapshot()))
+        self.stalls.append(psi_stall_sec(psi0, psi_snapshot()))
         return result
 
     @property
@@ -54,4 +80,5 @@ class TimedRuns:
         return min(self.secs)
 
     def detail(self) -> dict:
-        return {"runs_sec": self.secs, "runs_steal_pct": self.steals}
+        return {"runs_sec": self.secs, "runs_steal_pct": self.steals,
+                "runs_stall_sec": self.stalls}

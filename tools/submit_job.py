@@ -104,6 +104,7 @@ def main():
         "docs_throughput": round(n_docs / dtimed.best, 1),
         "docs_hits": dhits,
         "docs_runs_sec": dtimed.secs, "docs_runs_steal_pct": dtimed.steals,
+        "docs_runs_stall_sec": dtimed.stalls,
     }))
     spark.stop()
 
