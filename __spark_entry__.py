@@ -552,7 +552,8 @@ def _q5_ring(x0: str, y0: str, x1: str, y1: str, ccw: bool) -> str:
 def doc_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint docs-table join end to end: interleaved
     text+geo+media spans (derived deterministically from events so the
-    oracle can reproduce them in SQL), posexplode → geo parse → engine
+    oracle can reproduce them in SQL), pre-filtered explode (kind filter
+    inside the array, original span_idx kept) → geo parse → engine
     point join, id passthrough = (doc_id, span_idx). Span order/content
     preserved — the geo span is always index 1 of 3."""
     _register(spark, sf_dir, ("events",))
@@ -683,7 +684,8 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end to end WITH value-checked oracle: docs
     with interleaved text+image+audio spans (derived from events so the
-    oracle can rebuild them in SQL) → posexplode → media filter →
+    oracle can rebuild them in SQL) → pre-filtered explode (media-kind
+    filter inside the array) →
     Arrow-batched feature extraction (sha256-derived deterministic fake
     decode, areacity_query_geometry_spark/functions/media.py). The
     checksum recovers each float32 feature's exact uint16 source
@@ -761,6 +763,38 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = media.synthesize_png(spans, w=7, h=11)
     out = media.decode_image_png(imgs)
     return out.select("doc_id", "width", "height", "px_sum", "px_poshash")
+
+
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, value-checked: each media span
+    materializes as actual ITU-T T.81 baseline bytes
+    (functions/media.py encode_jpeg_coeff_gray — SOI/DQT/SOF0/DHT/SOS
+    markers, canonical Huffman codes declared in the stream's own DHT,
+    differential DC, run-length AC with ZRL/EOB, 0xFF byte stuffing),
+    then decode_jpeg_gray8 rebuilds the Huffman tables FROM the DHT,
+    entropy-decodes, undoes DC prediction, dequantizes and runs the
+    inverse DCT. JPEG is lossy in pixels but EXACT in quantized
+    coefficients, so the fixture content is the coefficients — block
+    b's 64 zigzag values derive from sha256(ref || ':' || b) (byte v →
+    0 if v<128 else v-192; ~half zeros so run-length coding is truly
+    exercised) — and the DuckDB oracle recomputes the position-weighted
+    coefficient checksum from hash arithmetic alone. A decoder that
+    mis-read any Huffman code, run length, DC difference, or stuffed
+    byte cannot match. 16×16 → 4 blocks, so DC prediction crosses
+    block boundaries."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://jpg/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 100 = 0
+    """)
+    imgs = media.synthesize_jpeg(spans, w=16, h=16)
+    out = media.decode_image_jpeg(imgs)
+    return out.select("doc_id", "width", "height", "coef_sum",
+                      "coef_poshash")
 
 
 def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_features": media_span_features,
         "media_image_decode": media_image_decode,
         "media_png_decode": media_png_decode,
+        "media_jpeg_decode": media_jpeg_decode,
         "media_wav_decode": media_wav_decode,
         "media_resize_real": media_resize_real,
         "media_audio_frames": media_audio_frames,
@@ -2412,6 +2447,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(7 AS BIGINT) AS width,
                    CAST(11 AS BIGINT) AS height, px_sum, px_poshash
             FROM px
+        """,
+        "media_jpeg_decode": f"""
+            WITH d AS (
+                SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                       'blob://jpg/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 100 = 0
+            ),
+            c AS (
+                -- block b's zigzag coefficient z = byte (z mod 32) of
+                -- sha256(ref || ':' || b): v<128 → 0 (run-length
+                -- coded), else v-192 ∈ [-64,63]; position weight is
+                -- transmission order b*64+z+1 — pure hash arithmetic,
+                -- no JPEG knowledge in the oracle
+                SELECT doc_id, b, z,
+                       CAST(('0x' || substr(
+                            sha256(ref || ':' || CAST(b AS VARCHAR)),
+                            2*(z%32)+1, 2)) AS BIGINT) AS v
+                FROM d CROSS JOIN range(0, 4) t1(b)
+                       CROSS JOIN range(0, 64) t2(z)
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN v < 128 THEN 0 ELSE v - 192 END AS val,
+                       b*64 + z + 1 AS pos
+                FROM c
+            )
+            SELECT doc_id, CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(sum(val) AS BIGINT) AS coef_sum,
+                   CAST(sum(val * pos) AS BIGINT) AS coef_poshash
+            FROM s GROUP BY doc_id
         """,
         "media_wav_decode": f"""
             WITH d AS (

@@ -92,18 +92,32 @@ def generate_docs(spark: SparkSession, n_docs: int = 1000,
 
 
 def geo_span_points(docs: DataFrame) -> DataFrame:
-    """Explode geo spans → (doc_id, span_idx, lng, lat). Order-preserving
-    via posexplode; coordinate parse is pure Spark SQL (JVM-side)."""
-    exploded = docs.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
-    ).filter(F.col("span.kind") == "geo")
+    """Explode geo spans → (doc_id, span_idx, lng, lat). Coordinate
+    parse is pure Spark SQL (JVM-side).
+
+    The kind filter runs INSIDE the array (transform captures each
+    span's original position as span_idx, then array filter keeps geo
+    spans) before the explode, so the generator only emits geo spans —
+    at the typical interleaved mix that is ~3× fewer generated rows
+    than posexplode-then-filter, on the operator a 100 TB docs scan
+    pays per row. Output (rows, values, span_idx semantics) is
+    identical to the posexplode formulation."""
+    geo_spans = F.filter(
+        F.transform(
+            "spans",
+            lambda s, i: F.struct(i.alias("span_idx"),
+                                  s["kind"].alias("kind"),
+                                  s["text"].alias("text")),
+        ),
+        lambda x: x["kind"] == "geo",
+    )
+    exploded = docs.select("doc_id", F.explode(geo_spans).alias("g"))
+    coords = F.split(F.regexp_replace("g.text", "^geo:", ""), ",")
     return exploded.select(
         "doc_id",
-        "span_idx",
-        F.split(F.regexp_replace("span.text", "^geo:", ""), ",")[0]
-            .cast("double").alias("lng"),
-        F.split(F.regexp_replace("span.text", "^geo:", ""), ",")[1]
-            .cast("double").alias("lat"),
+        F.col("g.span_idx").alias("span_idx"),
+        coords[0].cast("double").alias("lng"),
+        coords[1].cast("double").alias("lat"),
     )
 
 

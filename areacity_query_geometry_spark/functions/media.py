@@ -13,6 +13,12 @@ Decode paths:
   stages `decode_image_bmp` / `decode_image_png` run them
   Arrow-batched; `encode_bmp_gray8` / `encode_png_gray8` write the
   same containers, so pipelines round-trip without PIL.
+- Compressed BINARY image columns: `decode_jpeg_gray8` parses real
+  baseline JPEG (ITU-T T.81 marker walk, Huffman tables rebuilt from
+  the stream's own DHT, differential DC, run-length AC, 0xFF
+  unstuffing, dequant + inverse DCT); `encode_jpeg_coeff_gray` /
+  `encode_jpeg_gray8` write the same container (the latter via the
+  real lossy forward DCT). Spark stage: `decode_image_jpeg`.
 - BINARY audio columns: `decode_wav_pcm16` parses real RIFF/WAVE
   (chunk walk with word alignment, PCM mono 16-bit LE) — the Spark
   stage `decode_audio_wav` runs it Arrow-batched.
@@ -399,6 +405,313 @@ def decode_avi_gray8(data: bytes) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------------ JPEG codec
+# Real baseline JPEG (ITU-T T.81) with the stdlib only: grayscale,
+# single scan, one quant + one DC + one AC Huffman table. The encoder
+# writes genuine SOI/DQT/SOF0/DHT/SOS/EOI markers, canonical Huffman
+# codes declared in the DHT it emits, differential DC, run-length AC
+# with ZRL/EOB, and 0xFF byte stuffing; the decoder rebuilds the
+# Huffman tables FROM the stream's DHT (it assumes nothing), entropy-
+# decodes, undoes DC prediction, dequantizes, and runs the 8×8 inverse
+# DCT. Entropy/marker layers are exactly invertible (quantized
+# coefficients round-trip bit-for-bit — what the gate oracle checks);
+# the pixel path is the standard lossy reconstruction
+# (pytest-bounded against the forward transform).
+
+# zigzag transmission order: ZIGZAG[z] = (row, col) of the z-th coded
+# coefficient (T.81 Figure 5)
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+# quant table in zigzag order — small but non-trivial so dequant is a
+# real multiply, not identity
+JPEG_QUANT_ZZ = [1 + (z % 4) for z in range(64)]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward S = A p Aᵀ,
+    inverse p = Aᵀ S A (T.81 A.3.3 with the c(u)/2 factors folded
+    into an orthonormal basis)."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _jpeg_huff_tables() -> tuple[dict, dict, bytes, bytes]:
+    """Canonical Huffman tables the encoder declares: DC categories
+    0..11 all 5-bit, AC symbols (run<<4|size for run 0..15, size 1..10
+    — the standard 162-symbol alphabet) + EOB + ZRL all 8-bit.
+    Fixed-length canonical codes are legal JPEG (no code is all-ones:
+    12 ≤ 2⁵-1, 162 ≤ 2⁸-1); the decoder reads whatever the DHT
+    declares, so these exercise the same path an optimized per-image
+    table would."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 11)]
+    dc_counts = [0] * 16
+    dc_counts[4] = len(dc_syms)  # all length 5
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)  # all length 8
+    dc_map = {sym: (5, i) for i, sym in enumerate(dc_syms)}
+    ac_map = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+    dc_dht = bytes([0x00] + dc_counts + dc_syms)
+    ac_dht = bytes([0x10] + ac_counts + ac_syms)
+    return dc_map, ac_map, dc_dht, ac_dht
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_coeff_gray(blocks_zz: np.ndarray, w: int, h: int) -> bytes:
+    """Quantized-coefficient blocks (n_blocks, 64) in ZIGZAG order →
+    real baseline grayscale JPEG bytes. Blocks are raster order over
+    the ⌈w/8⌉×⌈h/8⌉ grid (single component, no interleave)."""
+    blocks_zz = np.asarray(blocks_zz, dtype=np.int64)
+    dc_map, ac_map, dc_dht, ac_dht = _jpeg_huff_tables()
+    bw = _BitWriter()
+    pred = 0
+    for blk in blocks_zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        t = _category(diff)
+        ln, code = dc_map[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for z in range(1, 64):
+            v = int(blk[z])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_map[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            t = _category(v)
+            ln, code = ac_map[(run << 4) | t]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << t) - 1, t)
+            run = 0
+        if run:
+            ln, code = ac_map[0x00]
+            bw.put(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(JPEG_QUANT_ZZ))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, dc_dht) + seg(0xFFC4, ac_dht)
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # unstuff
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_huff(counts: list[int], syms: list[int]) -> dict:
+    """Canonical code assignment (T.81 C.2): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray8(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Real baseline JPEG decode: marker walk, DHT-declared Huffman
+    tables, entropy decode with unstuffing, DC prediction undo,
+    dezigzag, dequantize, inverse DCT. Returns (pixels uint8 (h, w),
+    quantized coefficient blocks (n_blocks, 64) in zigzag order —
+    bit-exact vs what the encoder was given)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    quant = None
+    huff = {}
+    w = h = None
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            if payload[0] & 0x0F != 0 or payload[0] >> 4 != 0:
+                raise ValueError("only 8-bit quant table 0 supported")
+            quant = np.frombuffer(payload[1:65], dtype=np.uint8
+                                  ).astype(np.int64)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls_id = payload[p]
+                counts = list(payload[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = list(payload[p + 17:p + 17 + nsym])
+                huff[cls_id] = _build_huff(counts, syms)
+                p += 17 + nsym
+        elif marker == 0xDA:
+            entropy_start = pos + 2 + ln
+            break
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        pos += 2 + ln
+    if quant is None or w is None or entropy_start is None:
+        raise ValueError("JPEG missing DQT/SOF0/SOS")
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI")
+    dc_tab, ac_tab = huff[0x00], huff[0x10]
+
+    br = _BitReader(data[entropy_start:end])
+
+    def read_sym(tab: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    nblocks = bx * by
+    coeffs = np.zeros((nblocks, 64), dtype=np.int64)
+    pred = 0
+    for b in range(nblocks):
+        t = read_sym(dc_tab)
+        diff = _extend(br.bits(t), t) if t else 0
+        pred += diff
+        coeffs[b, 0] = pred
+        z = 1
+        while z < 64:
+            sym = read_sym(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                z += 16
+                continue
+            z += sym >> 4
+            t = sym & 0x0F
+            if z > 63:
+                raise ValueError("AC run past end of block")
+            coeffs[b, z] = _extend(br.bits(t), t)
+            z += 1
+
+    # dequant → dezigzag → inverse DCT → level shift
+    px = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    rows = np.array([r for r, _ in ZIGZAG])
+    cols = np.array([c for _, c in ZIGZAG])
+    for b in range(nblocks):
+        s = np.zeros((8, 8))
+        s[rows, cols] = coeffs[b] * quant
+        blk = _DCT_A.T @ s @ _DCT_A + 128.0
+        r0, c0 = (b // bx) * 8, (b % bx) * 8
+        px[r0:r0 + 8, c0:c0 + 8] = np.clip(np.round(blk), 0, 255
+                                           ).astype(np.uint8)
+    return px[:h, :w], coeffs
+
+
+def encode_jpeg_gray8(px: np.ndarray) -> bytes:
+    """(h, w) uint8 → baseline JPEG via the real forward path (level
+    shift, 8×8 DCT, quantize) — the standard LOSSY encode, for
+    round-trip tests; dims must be multiples of 8."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray8 needs multiple-of-8 dims")
+    bx = w // 8
+    quant = np.asarray(JPEG_QUANT_ZZ, dtype=np.float64)
+    rows = np.array([r for r, _ in ZIGZAG])
+    cols = np.array([c for _, c in ZIGZAG])
+    blocks = []
+    for b in range((h // 8) * bx):
+        r0, c0 = (b // bx) * 8, (b % bx) * 8
+        s = _DCT_A @ (px[r0:r0 + 8, c0:c0 + 8] - 128.0) @ _DCT_A.T
+        blocks.append(np.round(s[rows, cols] / quant).astype(np.int64))
+    return encode_jpeg_coeff_gray(np.array(blocks), w, h)
+
+
 IMAGE_BYTES_SCHEMA = StructType([
     StructField("doc_id", StringType()),
     StructField("span_idx", IntegerType()),
@@ -513,6 +826,77 @@ def decode_image_png(imgs: DataFrame, bytes_col: str = "img") -> DataFrame:
             yield out
 
     return imgs.mapInPandas(fn, IMAGE_DECODE_SCHEMA)
+
+
+JPEG_DECODE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("coef_sum", LongType()),
+    StructField("coef_poshash", LongType()),
+])
+
+
+def synthesize_jpeg(spans: DataFrame, ref_col: str = "ref",
+                    w: int = 16, h: int = 16) -> DataFrame:
+    """Blob-fetch stand-in for the JPEG path: each span as REAL
+    baseline JPEG bytes. JPEG is lossy, so the deterministic fixture
+    content is the QUANTIZED COEFFICIENT blocks (what the entropy
+    layer transmits exactly): block b's 64 zigzag coefficients derive
+    from sha256(ref || ':' || b) — byte v → 0 if v < 128 else v-192,
+    so ~half are zeros and run-length coding is really exercised — and
+    a SQL oracle can recompute any coefficient statistic from the hash
+    arithmetic alone."""
+    bx, by = w // 8, h // 8
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for ref in pdf[ref_col]:
+                blocks = []
+                for b in range(bx * by):
+                    d = hashlib.sha256(f"{ref}:{b}".encode()).digest()
+                    v = np.frombuffer((d * 2)[:64], dtype=np.uint8
+                                      ).astype(np.int64)
+                    blocks.append(np.where(v < 128, 0, v - 192))
+                blobs.append(encode_jpeg_coeff_gray(np.array(blocks), w, h))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["img"] = blobs
+            yield out
+
+    return spans.mapInPandas(fn, IMAGE_BYTES_SCHEMA)
+
+
+def decode_image_jpeg(imgs: DataFrame, bytes_col: str = "img") -> DataFrame:
+    """REAL baseline JPEG decode stage (marker walk, DHT-declared
+    Huffman decode with unstuffing, DC prediction undo) emitting
+    position-weighted statistics over the recovered quantized
+    coefficients in transmission order — a decoder that mis-read any
+    Huffman code, run length, DC difference, or stuffed byte cannot
+    match the oracle. (The dequant+IDCT pixel path runs too, bounded
+    by the pytest lossy round-trip.)"""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, poss = [], [], [], []
+            for b in pdf[bytes_col]:
+                px, coeffs = decode_jpeg_gray8(bytes(b))
+                hh, ww = px.shape
+                flat = coeffs.ravel()
+                ws.append(ww)
+                hs.append(hh)
+                sums.append(int(flat.sum()))
+                poss.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["width"] = pd.Series(ws, dtype="int64")
+            out["height"] = pd.Series(hs, dtype="int64")
+            out["coef_sum"] = pd.Series(sums, dtype="int64")
+            out["coef_poshash"] = pd.Series(poss, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(fn, JPEG_DECODE_SCHEMA)
 
 
 AUDIO_DECODE_SCHEMA = StructType([
@@ -834,11 +1218,23 @@ def decode_media(docs: DataFrame, fake: bool = True) -> DataFrame:
     Arrow-batched; one Python roundtrip for the whole media subset.
     Partitioned by doc hash upstream so batches are balanced.
     """
-    spans = docs.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
-    ).filter(F.col("span.kind").isin("image", "audio", "video")).select(
-        "doc_id", "span_idx", F.col("span.kind").alias("kind"),
-        F.col("span.media_ref").alias("media_ref"),
+    # kind filter runs INSIDE the array before the explode (transform
+    # captures each span's original position as span_idx) so the
+    # generator emits only media spans — same trick as
+    # docs.geo_span_points, ~3× fewer generated rows at the typical mix
+    media_spans = F.filter(
+        F.transform(
+            "spans",
+            lambda s, i: F.struct(i.alias("span_idx"),
+                                  s["kind"].alias("kind"),
+                                  s["media_ref"].alias("media_ref")),
+        ),
+        lambda x: x["kind"].isin("image", "audio", "video"),
+    )
+    spans = docs.select("doc_id", F.explode(media_spans).alias("g")).select(
+        "doc_id", F.col("g.span_idx").alias("span_idx"),
+        F.col("g.kind").alias("kind"),
+        F.col("g.media_ref").alias("media_ref"),
     )
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

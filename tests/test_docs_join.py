@@ -33,6 +33,26 @@ class TestGenerator:
         ).count()
         assert hot > 5  # dense-city cluster exists
 
+    def test_geo_span_points_matches_posexplode(self, docs_df):
+        """geo_span_points pre-filters inside the array (the generator
+        emits only geo spans); rows, values, and span_idx semantics
+        must equal the naive posexplode-then-filter formulation —
+        span_idx stays the ORIGINAL array position."""
+        naive = (
+            docs_df.select(
+                "doc_id", F.posexplode("spans").alias("span_idx", "span"))
+            .filter(F.col("span.kind") == "geo")
+            .select(
+                "doc_id", "span_idx",
+                F.split(F.regexp_replace("span.text", "^geo:", ""), ",")[0]
+                    .cast("double").alias("lng"),
+                F.split(F.regexp_replace("span.text", "^geo:", ""), ",")[1]
+                    .cast("double").alias("lat")))
+        got = docsmod.geo_span_points(docs_df)
+        assert got.schema == naive.schema
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, naive.collect()))
+
 
 class TestGeoJoin:
     def test_span_sequence_preserved(self, province_engine, docs_df):
