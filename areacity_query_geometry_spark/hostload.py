@@ -35,6 +35,44 @@ def psi_stall_sec(before: dict, after: dict) -> dict:
             for k in after if k in before}
 
 
+_BW_BUFS: list | None = None
+
+
+def membw_probe_gbps(mb: int = 64, threads: int = 4, reps: int = 4) -> float:
+    """Guest memory-bandwidth probe: `threads` concurrent numpy
+    in-place scales (GIL released) over buffers far beyond LLC;
+    returns aggregate read+write GB/s. The host's memory-bandwidth
+    contention shows up in NEITHER /proc/stat steal nor PSI, yet costs
+    up to ~2× on timed runs — a probe value recorded next to each leg
+    lets a reader see 'slow window' vs 'engine regression' directly.
+    Buffers are cached module-level: only the first call pays the
+    (slow-on-this-guest) page faulting, later calls cost ~0.1s."""
+    global _BW_BUFS
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import numpy as np
+
+        fresh = _BW_BUFS is None or len(_BW_BUFS) != threads
+        if fresh:
+            _BW_BUFS = [np.ones(mb * 131072, dtype=np.float64)
+                        for _ in range(threads)]  # mb MiB each
+
+        def scale(a):
+            a *= 1.0001
+
+        with ThreadPoolExecutor(threads) as ex:
+            if fresh:
+                list(ex.map(scale, _BW_BUFS))  # untimed page-fault pass
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                list(ex.map(scale, _BW_BUFS))
+            dt = time.perf_counter() - t0
+        return round(2 * reps * threads * _BW_BUFS[0].nbytes / dt / 1e9, 1)
+    except Exception:
+        return -1.0
+
+
 def cpu_snapshot() -> tuple[int, int]:
     """(total_jiffies, steal_jiffies) from /proc/stat's cpu line."""
     try:

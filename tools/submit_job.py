@@ -27,7 +27,7 @@ import sys
 from pyspark.sql import SparkSession, functions as F
 
 from areacity_query_geometry_spark.engine import SpatialEngine
-from areacity_query_geometry_spark.hostload import TimedRuns
+from areacity_query_geometry_spark.hostload import TimedRuns, membw_probe_gbps
 
 GEOJSON = "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json"
 
@@ -47,6 +47,7 @@ def main():
         (18.0 + (F.col("id") * 101 % 36000) / 1000.0).alias("lat"),
     )
     eng.query_points(probes.sample(0.02, seed=1), with_props=False).count()  # warm
+    membw = membw_probe_gbps()  # window evidence: slow host vs slow engine
     timed = TimedRuns()
     hits = 0
     for _ in range(3):
@@ -56,8 +57,8 @@ def main():
     # second leg: the north-star DOCS-TABLE shape — interleaved
     # text+geo+media spans, MATERIALIZED to parquet first (untimed) so
     # the timed runs measure the honest pipeline a 100 TB table pays:
-    # columnar scan → posexplode → JVM geo parse → the same cell-grid
-    # join, (doc_id, span_idx) passthrough (n/10 docs)
+    # columnar scan → pre-filtered explode → JVM geo parse → the same
+    # cell-grid join, (doc_id, span_idx) passthrough (n/10 docs)
     import shutil
     import tempfile
 
@@ -87,6 +88,7 @@ def main():
         # codegen — a 2% sample leaves run 1 measuring the disk, not
         # the pipeline (observed 104s vs 16s steady-state at local[2])
         eng.query_points(pts, with_props=False, id_cols=ids).count()
+        docs_membw = membw_probe_gbps()
         dtimed = TimedRuns()
         dhits = 0
         for _ in range(3):
@@ -99,6 +101,7 @@ def main():
         "cpus": cpus, "n": n, "sec": timed.best,
         "throughput": round(n / timed.best, 1), "hits": hits,
         "build_sec": build.best, "build_steal_pct": build.steals[0],
+        "membw_gbps": membw, "docs_membw_gbps": docs_membw,
         **timed.detail(),
         "docs_n": n_docs, "docs_sec": dtimed.best,
         "docs_throughput": round(n_docs / dtimed.best, 1),
