@@ -1507,27 +1507,28 @@ class SpatialEngine:
                 m_c = np.nonzero(pkind == 3)[0]
                 if len(m_c):
                     wkt_c = pdf["wkt"].to_numpy()[m_c]
-                    rid_c = pdf["region_id"].to_numpy()[m_c]
-                    wkb_c = pdf["tile_wkb"].to_numpy()[m_c]
-                    px_t = np.empty(len(m_c), dtype=np.float64)
-                    py_t = np.empty(len(m_c), dtype=np.float64)
+                    # interior tiles: any rect corner decides — take
+                    # (minx, miny) for the whole subset in one shot
+                    px_t = tmnx[m_c].copy()
+                    py_t = tmny[m_c].copy()
                     ok_t = np.ones(len(m_c), dtype=bool)
-                    for j, i in enumerate(m_c):
-                        if kind[i] != 0:
-                            px_t[j], py_t[j] = tmnx[i], tmny[i]
-                        else:
-                            key = (pdf["cell_id"].iat[i], rid_c[j],
-                                   tmnx[i:i + 1].view(np.int64)[0],
-                                   tmny[i:i + 1].view(np.int64)[0])
-                            segs = registry.get(key)
-                            if segs is None:
-                                g = wkb.loads(bytes(wkb_c[j]))
-                                segs = predicates.segments_of_rings(core.all_rings(g))
-                                registry[key] = segs
+                    # boundary tiles: first vertex OF the decoded tile —
+                    # grouped per tile (decode once via the shared
+                    # registry), assigned to the whole group slice; the
+                    # old formulation looped per candidate ROW in Python
+                    # and dominated large-probe gates
+                    sub = np.nonzero(kind[m_c] == 0)[0]
+                    if len(sub):
+                        order_b, starts_b, ends_b, segs_at_b = _tile_groups(
+                            pdf, m_c[sub], tmnx, tmny)
+                        for s0, s1 in zip(starts_b, ends_b):
+                            segs = segs_at_b(s0)
+                            sl = sub[order_b[s0:s1]]
                             if len(segs) == 0:
-                                ok_t[j] = False
+                                ok_t[sl] = False
                             else:
-                                px_t[j], py_t[j] = segs[0, 0], segs[0, 1]
+                                px_t[sl] = segs[0, 0]
+                                py_t[sl] = segs[0, 1]
                     # group by the member's WKT TEXT (not probe_id): a
                     # GEOMETRYCOLLECTION probe emits one pkind-3 row per
                     # polygonal member, so one probe_id can carry
