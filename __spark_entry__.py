@@ -1661,10 +1661,12 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination — the pretraining-pipeline step that
     removes training documents sharing any verbatim n-gram with the
-    held-out eval set (here: docs with doc_id % 97 == 0 stand in as
-    the eval split; n=3 so the fixture's small random vocabulary
-    actually collides — production uses n≈8-13, same plan). Output:
-    every train doc flagged contaminated or clean.
+    held-out eval set. The eval side IS `doc_split_assign`'s test
+    split (md5 bucket >= 90), so split-assignment and decontamination
+    compose into one coherent pipeline: assign splits, then scrub the
+    train+valid side against the test side (n=3 so the fixture's small
+    random vocabulary actually collides — production uses n≈8-13, same
+    plan). Output: every non-test doc flagged contaminated or clean.
 
     Spark shape for 100 TB: the eval side is tiny relative to train,
     so its DISTINCT 8-gram set builds in one small aggregation and
@@ -1677,13 +1679,17 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("documents",))
     return spark.sql("""
         WITH s AS (
-            SELECT doc_id, split(text, ' ') AS w FROM documents
+            SELECT doc_id,
+                   CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4),
+                             16, 10) AS BIGINT) % 100 AS bucket,
+                   split(text, ' ') AS w
+            FROM documents
         ),
         eval_grams AS (
             SELECT DISTINCT g FROM (
                 SELECT explode(transform(sequence(1, size(w) - 2),
                                i -> concat_ws(' ', slice(w, i, 3)))) AS g
-                FROM s WHERE doc_id % 97 = 0 AND size(w) >= 3
+                FROM s WHERE bucket >= 90 AND size(w) >= 3
             )
         ),
         hit AS (
@@ -1691,7 +1697,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT doc_id,
                        explode(transform(sequence(1, size(w) - 2),
                                i -> concat_ws(' ', slice(w, i, 3)))) AS g
-                FROM s WHERE doc_id % 97 != 0 AND size(w) >= 3
+                FROM s WHERE bucket < 90 AND size(w) >= 3
             ) t
             WHERE g IN (SELECT g FROM eval_grams)
         )
@@ -1700,7 +1706,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END
                     AS BIGINT) AS contaminated
         FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
-        WHERE s.doc_id % 97 != 0
+        WHERE s.bucket < 90
     """)
 
 
@@ -2888,20 +2894,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_decontaminate": """
             WITH s AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 100 AS bucket,
+                       string_split(text, ' ') AS w
+                FROM documents
             ),
             eval_grams AS (
                 SELECT DISTINCT unnest(list_transform(
                            range(1, len(w) - 1),
                            i -> array_to_string(w[i:i+2], ' '))) AS g
-                FROM s WHERE doc_id % 97 = 0 AND len(w) >= 3
+                FROM s WHERE bucket >= 90 AND len(w) >= 3
             ),
             hit AS (
                 SELECT DISTINCT doc_id FROM (
                     SELECT doc_id, unnest(list_transform(
                                range(1, len(w) - 1),
                                i -> array_to_string(w[i:i+2], ' '))) AS g
-                    FROM s WHERE doc_id % 97 != 0 AND len(w) >= 3
+                    FROM s WHERE bucket < 90 AND len(w) >= 3
                 ) t
                 WHERE g IN (SELECT g FROM eval_grams)
             )
@@ -2910,7 +2920,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS contaminated
             FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
-            WHERE s.doc_id % 97 != 0
+            WHERE s.bucket < 90
         """,
         "embedding_topk_cosine": """
             WITH e AS (

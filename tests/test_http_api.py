@@ -42,6 +42,20 @@ def _get(base, path, **params):
         return e.code, json.loads(e.read())
 
 
+def _post(base, path, body_params, **qs_params):
+    qs = urllib.parse.urlencode(qs_params)
+    url = f"{base}{path}" + (f"?{qs}" if qs else "")
+    data = urllib.parse.urlencode(body_params).encode()
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
 def test_querypoint_envelope_and_hits(server):
     code, env = _get(server, "/0/querypoint", lng=1.5, lat=1.5)
     assert code == 200 and set(env) == {"c", "v", "m"} and env["c"] == 200
@@ -113,6 +127,45 @@ def test_debugreadgridsplits(server):
     assert code == 200
     rows = env["v"]["list"]
     assert len(rows) == 4 and all(r["n_tiles"] > 0 for r in rows)
+
+
+def test_post_matches_get(server):
+    """Reference parity (Test_HttpApiServer.java:326-468): every verb
+    answers POST with urlencoded-body params identically to GET."""
+    _, get_env = _get(server, "/0/querypoint", lng=1.5, lat=1.5)
+    code, post_env = _post(server, "/0/querypoint",
+                           {"lng": "1.5", "lat": "1.5"})
+    assert code == 200 and post_env == get_env
+
+
+def test_post_body_merges_and_wins_over_query_string(server):
+    # lat rides the query string, lng the body; a body lng overrides a
+    # query-string lng (read-body-after-query ordering)
+    code, env = _post(server, "/0/querypoint",
+                      {"lng": "1.5"}, lng="99.0", lat="1.5")
+    assert code == 200
+    names = {json.loads(p)["name"] for p in env["v"]["list"]}
+    assert names == {"P00", "C00", "D00"}
+
+
+def test_post_big_wkt_probe(server):
+    """The reference's stated reason for POST: WKT probes too big for a
+    query string (Test_HttpApiServer.java:326). A ~600 KB polygon ring
+    around (1.5, 1.5) must answer through the body."""
+    import math
+
+    pts = [
+        (1.5 + 0.4 * math.cos(2 * math.pi * i / 20000),
+         1.5 + 0.4 * math.sin(2 * math.pi * i / 20000))
+        for i in range(20000)
+    ]
+    pts.append(pts[0])
+    wkt = "POLYGON ((" + ", ".join(f"{x:.10f} {y:.10f}" for x, y in pts) + "))"
+    assert len(wkt) > 500_000
+    code, env = _post(server, "/0/querygeometry", {"wkt": wkt})
+    assert code == 200
+    names = {json.loads(p)["name"] for p in env["v"]["list"]}
+    assert {"P00", "C00", "D00"} <= names
 
 
 def test_routing_404(server):

@@ -6,7 +6,10 @@ batch engine is the product — at scale, "requests" are rows of the docs
 table, not HTTP calls.
 
 Usage: python tools/http_api_demo.py [port] [geojson_path]
-Routes (GET):
+Routes (GET, or POST with a urlencoded body — the reference accepts
+both, Test_HttpApiServer.java:326-468 / param parse :274-318; POST is
+how big-WKT QueryGeometry probes that won't fit in a query string
+arrive):
     /0/querypoint?lng=..&lat=..[&tolerance=..][&where=deep=0]
     /0/querygeometry?wkt=POLYGON((...))
     /0/readwkt?where=name='北京市'
@@ -83,10 +86,28 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        self._dispatch(body=None)
+
+    def do_POST(self):
+        # reference parity: POST params arrive urlencoded in the body
+        # (Test_HttpApiServer.java:326-468) and merge with any query-
+        # string params; body values win on key collision, matching the
+        # reference's read-body-after-query ordering.
+        try:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(n).decode("utf-8") if n else ""
+        except Exception as e:
+            self._send(envelope(500, None, f"bad body: {e}"), 500)
+            return
+        self._dispatch(body=body)
+
+    def _dispatch(self, body):
         try:
             parts = self.path.split("?", 1)
             route = parts[0].strip("/").split("/")
             qs = urllib.parse.parse_qs(parts[1]) if len(parts) > 1 else {}
+            if body:
+                qs.update(urllib.parse.parse_qs(body))
             if len(route) != 2 or route[0] not in ENGINES:
                 self._send(envelope(404, None, "unknown instance/route"), 404)
                 return
