@@ -1358,9 +1358,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join on (band, band_value), then exact hamming verifies. Same
     output as the brute-force DuckDB oracle, but the plan has no
     all-pairs join — candidate volume is Σ_buckets |b|², bounded by the
-    signature distribution instead of n². (At 10^9+ docs you'd widen to
-    a 64-bit simhash so band values don't saturate; the 16-bit width
-    here is pinned by the oracle's exact-arithmetic budget.)"""
+    signature distribution instead of n². The 16-bit width here is
+    pinned by the oracle's exact-arithmetic budget; the PRODUCTION
+    path is pipeline/simhash.py — the same plan at any width (64-bit /
+    4×16-band default, xxhash64 token hashing), property-tested to
+    candidate a superset of every hamming≤n_bands-1 pair
+    (tests/test_simhash_wide.py)."""
     # materialize the signatures ONCE (the view is referenced 5x below;
     # checkpoint blocks are GC-reclaimed, unlike a lingering cache)
     sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
