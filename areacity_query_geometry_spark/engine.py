@@ -29,7 +29,9 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (
+    DataFrame, Observation, SparkSession, Window, functions as F,
+)
 from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -936,6 +938,21 @@ class SpatialEngine:
         parts: list[DataFrame] = []
         r = r0
         n_prev = active.count()  # scalar control-flow action
+        # telemetry (VERDICT r3 #7): rounds taken, per-round radius /
+        # candidate-row / surviving-frontier counts, and how the
+        # iteration terminated — so a growth-factor mistune at 100×
+        # scale shows up in bench JSON instead of silently burning
+        # rounds. Candidate counts ride an Observation on the round's
+        # ALREADY-materializing checkpoint (CollectMetrics in the same
+        # job) — zero extra Spark jobs; frontier counts reuse the
+        # loop's own control-flow count.
+        stats: dict = {
+            "start_pd_pairs": int(n_prev), "rounds": 0,
+            "round_radius_m": [], "round_candidates": [],
+            "round_frontier_after": [],
+            "terminal_full_scan": False, "terminal_reason": None,
+        }
+        self.last_q2_iter_stats = stats
         w = Window.partitionBy("point_id", "deep").orderBy("dist_m", "region_id")
         while True:
             # direct-to-terminal fast paths: (a) the remaining frontier
@@ -946,6 +963,10 @@ class SpatialEngine:
             # radius has reached the extent span so the cover prunes
             # nothing anyway
             if r >= r_switch or n_prev <= small_direct:
+                stats["terminal_full_scan"] = True
+                stats["terminal_reason"] = (
+                    "radius_reached_extent" if r >= r_switch
+                    else "small_frontier")
                 parts.append(self._dists_full_scan(active, tiles_b))
                 break
             act_pts = active.groupBy("point_id", "lng", "lat").agg(
@@ -958,7 +979,13 @@ class SpatialEngine:
                         "(shiftright(mask, cast(deep AS INT)) & 1) = 1"))
                     .select("point_id", "lng", "lat", "cell_id", "region_id",
                             "deep", "minx", "miny", "tile_wkb"))
-            per_pr = self._cand_dists(cand).localCheckpoint(eager=True)
+            obs = Observation()
+            per_pr = (self._cand_dists(cand)
+                      .observe(obs, F.count(F.lit(1)).alias("n"))
+                      .localCheckpoint(eager=True))
+            stats["rounds"] += 1
+            stats["round_radius_m"].append(float(r))
+            stats["round_candidates"].append(int(obs.get["n"]))
             ranked = per_pr.withColumn("rn", F.row_number().over(w))
             per_pd = (ranked.join(F.broadcast(deep_tot), "deep")
                       .groupBy("point_id", "deep")
@@ -977,13 +1004,17 @@ class SpatialEngine:
                            .localCheckpoint(eager=True)
             # scalar control-flow counts only — no row data on the driver
             n_act = active.count()
+            stats["round_frontier_after"].append(int(n_act))
             if n_act == 0:
+                stats["terminal_reason"] = "converged"
                 break
             if n_act > 0.5 * n_prev:
                 # cover rounds stopped shrinking the frontier (the k-th
                 # feature of some deep is a large fraction of the world
                 # away for most points) — radius doubling would just
                 # re-pay the cover; go straight to the exact full scan
+                stats["terminal_full_scan"] = True
+                stats["terminal_reason"] = "frontier_stall"
                 parts.append(self._dists_full_scan(active, tiles_b))
                 break
             n_prev = n_act

@@ -54,7 +54,37 @@ class TestKnn:
             return sorted((r.point_id, r.deep, r.region_id,
                            round(r.dist_m, 6)) for r in top.collect())
 
-        assert winners(0) == winners(10**9)
+        w_iter = winners(0)
+        iter_stats = dict(province_engine.last_q2_iter_stats)
+        assert w_iter == winners(10**9)
+
+        # telemetry contract (VERDICT r3 #7): the forced-rounds run
+        # (small_direct=0) pins one cover round on this fixture — the
+        # coastal points' 2nd-nearest province sits beyond the r/4
+        # certification margin, so round 1 freezes nothing and the
+        # frontier-stall guard hands the 8 surviving pairs to the
+        # terminal full scan instead of burning more rounds
+        st = iter_stats
+        assert st["start_pd_pairs"] == 8
+        assert st["rounds"] == 1
+        assert st["round_radius_m"] == [262144.0]
+        assert st["round_candidates"] == [40]
+        assert st["round_frontier_after"] == [8]
+        assert st["terminal_full_scan"] is True
+        assert st["terminal_reason"] == "frontier_stall"
+
+    def test_iter_stats_small_frontier_path(self, spark, province_engine):
+        """The gate-sized path (frontier ≤ small_direct) must record
+        that it skipped cover rounds entirely."""
+        from pyspark.sql import functions as F
+
+        pts = spark.createDataFrame(
+            [(0, 121.9, 29.5)], "point_id long, lng double, lat double")
+        tiles = province_engine.tiles.filter(F.col("kind") == 0)
+        province_engine._dists_unlimited_iterative(pts, tiles, 1).count()
+        st = province_engine.last_q2_iter_stats
+        assert st["rounds"] == 0 and st["terminal_full_scan"] is True
+        assert st["terminal_reason"] == "small_frontier"
 
     def test_k2_returns_two_per_level(self, spark, province_engine):
         pts = spark.createDataFrame(
