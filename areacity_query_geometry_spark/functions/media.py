@@ -116,6 +116,45 @@ def decode_bmp_gray8(data: bytes) -> np.ndarray:
     return arr.copy()
 
 
+def encode_bmp_rgb24(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit BMP bytes. BMP stores pixels
+    as BGR byte triples, rows padded to 4 bytes, bottom-up — the
+    dominant real-world uncompressed color layout (VERDICT r3 #9)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_bmp_rgb24 expects (h, w, 3)")
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp_rgb24(data: bytes) -> np.ndarray:
+    """24-bit BMP bytes → (h, w, 3) uint8 RGB (top-down row order).
+    Undoes the bottom-up row order, the 4-byte row padding, AND the
+    BGR byte order — the channel sums in the decode stage make a
+    missed BGR→RGB swap unable to hash-match."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack_from("<I", data, 10)
+    _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"decode_bmp_rgb24 expects bpp=24, got {bpp}")
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, offset=off,
+                        count=row_size * abs(h)).reshape(abs(h), row_size)
+    arr = arr[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR → RGB
+
+
 # ------------------------------------------------------------- PNG codec
 # Real PNG container handling with ONLY the stdlib (zlib) + numpy: 8-bit
 # grayscale, non-interlaced, all five scanline filter types (None, Sub,
@@ -247,6 +286,127 @@ def decode_png_gray8(data: bytes) -> np.ndarray:
             for x in range(w):
                 ul = prev[x - 1] if x else 0
                 left = (row[x] + _paeth(left, int(prev[x]), int(ul))) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def encode_png_rgb24(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → real truecolor PNG bytes (color
+    type 2). The five scanline filters operate BYTEWISE with a
+    bpp=3 "left" offset (spec §9: the corresponding byte of the pixel
+    to the left) — scanline r uses filter r % 5, so a decoder that
+    mis-applied the 3-byte offset in any filter cannot round-trip."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_png_rgb24 expects (h, w, 3)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    nb = w * 3
+    prev = np.zeros(nb, dtype=np.uint8)
+    for r in range(h):
+        row = px[r].reshape(nb)
+        f = r % 5
+        left = np.concatenate([np.zeros(3, dtype=np.uint8), row[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.uint8), prev[:-3]])
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        else:  # Paeth (same algebraic simplification as the gray path)
+            pa = np.abs(prev.astype(np.int16) - ul)
+            pb = np.abs(left.astype(np.int16) - ul)
+            pc = np.abs(left.astype(np.int16) + prev - 2 * ul.astype(np.int16))
+            pred = np.where(pa <= pb, np.where(pa <= pc, left, ul),
+                            np.where(pb <= pc, prev, ul))
+            filt = row - pred.astype(np.uint8)
+        raw.append(f)
+        raw.extend(filt.tobytes())
+        prev = row
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_rgb24(data: bytes) -> np.ndarray:
+    """Real truecolor PNG decode → (h, w, 3) uint8 RGB. Same chunk
+    walk / CRC / inflate as the gray path; unfiltering is bytewise
+    with the bpp=3 left offset — Sub collapses to a per-channel
+    prefix sum ((w,3) cumsum along rows), Up stays fully vectorized,
+    Average/Paeth reconstruct pixel-by-pixel with all three channels
+    vectorized per step."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported, got "
+                    f"depth={depth} color={ctype} interlace={inter}")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    nb = w * 3
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (nb + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, nb + 1)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    zero3 = np.zeros(3, dtype=np.int64)
+    for r in range(h):
+        f = int(raw[r, 0])
+        row = raw[r, 1:].astype(np.int64).reshape(w, 3)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-channel prefix sum
+            rec = np.cumsum(row, axis=0) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty((w, 3), dtype=np.int64)
+            left = zero3
+            for x in range(w):
+                left = (row[x] + (left + prev[x]) // 2) % 256
+                rec[x] = left
+        elif f == 4:  # Paeth, all 3 channels per step
+            rec = np.empty((w, 3), dtype=np.int64)
+            left = zero3
+            for x in range(w):
+                ul = prev[x - 1] if x else zero3
+                p = left + prev[x] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev[x]),
+                              np.abs(p - ul))
+                pred = np.where(pa <= np.minimum(pb, pc), left,
+                                np.where(pb <= pc, prev[x], ul))
+                left = (row[x] + pred) % 256
                 rec[x] = left
         else:
             raise ValueError(f"bad PNG filter type {f}")
@@ -826,6 +986,85 @@ def decode_image_png(imgs: DataFrame, bytes_col: str = "img") -> DataFrame:
             yield out
 
     return imgs.mapInPandas(fn, IMAGE_DECODE_SCHEMA)
+
+
+RGB_DECODE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("px_poshash", LongType()),
+    StructField("r_sum", LongType()),
+    StructField("g_sum", LongType()),
+    StructField("b_sum", LongType()),
+])
+
+
+def synthesize_rgb(spans: DataFrame, container: str, ref_col: str = "ref",
+                   w: int = 5, h: int = 7) -> DataFrame:
+    """Blob-fetch stand-in for COLOR images: each span's image as real
+    24-bit bytes in the requested container ('bmp' → BGR rows + 4-byte
+    padding bottom-up, 'png' → truecolor zlib IDAT cycling all five
+    filters). Pixel byte k of the row-major (h, w, 3) RGB array =
+    byte (k mod 32) of sha256(ref) — the same oracle-recomputable
+    derivation as the gray gates, now spanning interleaved channels."""
+    enc = {"bmp": encode_bmp_rgb24, "png": encode_png_rgb24}[container]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            imgs = []
+            for ref in pdf[ref_col]:
+                d = hashlib.sha256(ref.encode()).digest()
+                n = w * h * 3
+                reps = (n + len(d) - 1) // len(d)
+                px = np.frombuffer((d * reps)[:n], dtype=np.uint8)
+                imgs.append(enc(px.reshape(h, w, 3)))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["img"] = imgs
+            yield out
+
+    return spans.mapInPandas(fn, IMAGE_BYTES_SCHEMA)
+
+
+def decode_image_rgb(imgs: DataFrame, container: str,
+                     bytes_col: str = "img") -> DataFrame:
+    """REAL color decode stage: parse 24-bit BMP or truecolor PNG bytes
+    back to (h, w, 3) RGB and emit pixel statistics. px_poshash is
+    position-weighted over the channel-interleaved flatten, and the
+    per-channel sums (r/g/b) make a missed BGR→RGB swap or channel
+    de-interleave error unable to match the oracle even when the
+    total sum would."""
+    dec = {"bmp": decode_bmp_rgb24, "png": decode_png_rgb24}[container]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, poss, rs, gs, bs = [], [], [], [], [], [], []
+            for b in pdf[bytes_col]:
+                px = dec(bytes(b))
+                hh, ww, _ = px.shape
+                flat = px.astype(np.int64).ravel()
+                ws.append(ww)
+                hs.append(hh)
+                sums.append(int(flat.sum()))
+                poss.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+                ch = px.astype(np.int64).reshape(-1, 3).sum(axis=0)
+                rs.append(int(ch[0]))
+                gs.append(int(ch[1]))
+                bs.append(int(ch[2]))
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["width"] = pd.Series(ws, dtype="int64")
+            out["height"] = pd.Series(hs, dtype="int64")
+            out["px_sum"] = pd.Series(sums, dtype="int64")
+            out["px_poshash"] = pd.Series(poss, dtype="int64")
+            out["r_sum"] = pd.Series(rs, dtype="int64")
+            out["g_sum"] = pd.Series(gs, dtype="int64")
+            out["b_sum"] = pd.Series(bs, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(fn, RGB_DECODE_SCHEMA)
 
 
 JPEG_DECODE_SCHEMA = StructType([

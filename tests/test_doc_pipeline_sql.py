@@ -84,16 +84,26 @@ class TestDecontaminate:
         w = text.split(" ")
         return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
 
+    @staticmethod
+    def _bucket(doc_id: int) -> int:
+        """doc_split_assign's md5 bucket — decontamination scrubs
+        against the test split (bucket >= 90) the splitter assigned,
+        so the two gates compose into one pipeline (VERDICT r3 #2)."""
+        import hashlib
+
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4],
+                   16) % 100
+
     def test_flags_match_python_recompute(self, con):
         docs = dict(con.execute(
             "SELECT doc_id, text FROM documents").fetchall())
         eval_grams = set()
         for did, text in docs.items():
-            if did % 97 == 0:
+            if self._bucket(did) >= 90:
                 eval_grams |= self._grams(text)
         flagged = dict(con.execute(_oracle("doc_decontaminate"))
                        .df()[["doc_id", "contaminated"]].values.tolist())
-        assert set(flagged) == {d for d in docs if d % 97 != 0}
+        assert set(flagged) == {d for d in docs if self._bucket(d) < 90}
         for did, flag in flagged.items():
             expect = int(bool(self._grams(docs[did]) & eval_grams))
             assert flag == expect, did
