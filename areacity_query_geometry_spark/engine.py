@@ -40,6 +40,63 @@ from . import GRID_VERSION, grid, tiler
 from .geom import core, distance, predicates, wkb, wkt as wkt_codec
 from .sources import geojson_source
 
+def _refine_csr(ents: list, starts: np.ndarray, ends: np.ndarray,
+                px0: np.ndarray, py0: np.ndarray) -> np.ndarray:
+    """Many-tiny-tiles refine: decompose this batch's (point, tile)
+    pairs into one ragged CSR (pair, segment) row list — row r tests
+    sorted-pair `row_pair[r]` against its tile's segment `idx[r]` — and
+    run the crossing-parity + on-segment kernel ONCE, reducing back per
+    pair with bincount. Identical arithmetic to the per-tile broadcast
+    loop (EPS, degenerate-segment handling included); only the loop
+    structure differs. Returns hit flags aligned with the sorted pairs."""
+    npairs = len(px0)
+    lens = np.fromiter((len(e[0]) for e in ents), dtype=np.int64,
+                       count=len(ents))
+    X1 = np.concatenate([e[0] for e in ents])
+    Y1 = np.concatenate([e[1] for e in ents])
+    X2 = np.concatenate([e[2] for e in ents])
+    Y2 = np.concatenate([e[3] for e in ents])
+    YDS = np.concatenate([e[4] for e in ents])
+    DX = np.concatenate([e[5] for e in ents])
+    LN = np.concatenate([e[6] for e in ents])
+    DEG = np.concatenate([e[7] for e in ents])
+    seg_off = np.zeros(len(ents), dtype=np.int64)
+    np.cumsum(lens[:-1], out=seg_off[1:])
+    # per (sorted) pair: its group's segment count and offset
+    npair_g = ends - starts
+    pair_grp = np.repeat(np.arange(len(ents), dtype=np.int64), npair_g)
+    segcnt = lens[pair_grp]
+    tot = int(segcnt.sum())
+    row_pair = np.repeat(np.arange(npairs, dtype=np.int64), segcnt)
+    row_start = np.zeros(npairs, dtype=np.int64)
+    np.cumsum(segcnt[:-1], out=row_start[1:])
+    idx = (np.arange(tot, dtype=np.int64)
+           - np.repeat(row_start, segcnt)
+           + np.repeat(seg_off[pair_grp], segcnt))
+    x1, y1, x2, y2 = X1[idx], Y1[idx], X2[idx], Y2[idx]
+    yds, dxv, ln, degen = YDS[idx], DX[idx], LN[idx], DEG[idx]
+    p = px0[row_pair]
+    q = py0[row_pair]
+    cond = (y1 > q) != (y2 > q)
+    xint = x1 + (q - y1) / yds * dxv
+    crossing = cond & (p < xint)
+    parity = (np.bincount(row_pair[crossing], minlength=npairs) % 2) == 1
+    qx = p - x1
+    qy = q - y1
+    yd = y2 - y1
+    crossp = np.abs(qx * yd - qy * dxv) / ln
+    if degen.any():
+        crossp = np.where(degen, np.hypot(qx, qy), crossp)
+    t_par = (qx * dxv + qy * yd) / (ln * ln)
+    if degen.any():
+        t_par = np.where(degen, 0.0, t_par)
+    on = (crossp <= predicates.EPS) & (t_par >= -predicates.EPS) \
+        & (t_par <= 1 + predicates.EPS)
+    hit = parity
+    hit[np.unique(row_pair[on])] = True
+    return hit
+
+
 def _make_refine_fn(id_cols: tuple[str, ...]):
     """Build the exact point-refine UDF — the JTS
     `subGeom.intersects(point)` analog
@@ -107,7 +164,8 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
                 py0 = py_all[m0][order]
                 hit0 = np.zeros(len(m0), dtype=bool)
                 wkb_col = pdf["tile_wkb"].to_numpy()[m0][order]
-                for s0, s1 in zip(starts, ends):
+                ents = []
+                for s0 in starts:
                     key = (cs[s0], rs[s0], xs[s0], ys[s0])
                     ent = registry.get(key)
                     if ent is None:
@@ -123,24 +181,41 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
                         ln = np.where(degen, 1.0, ln)
                         ent = (x1, y1, x2, y2, yds, dx, ln, degen)
                         registry[key] = ent
-                    x1, y1, x2, y2, yds, dx, ln, degen = ent
-                    p = px0[s0:s1][:, None]
-                    q = py0[s0:s1][:, None]
-                    cond = (y1[None, :] > q) != (y2[None, :] > q)
-                    xint = x1[None, :] + (q - y1[None, :]) / yds[None, :] * dx[None, :]
-                    crossing = cond & (p < xint)
-                    parity = (crossing.sum(axis=1) % 2) == 1
-                    qx = p - x1[None, :]
-                    qy = q - y1[None, :]
-                    crossp = np.abs(qx * (y2 - y1)[None, :] - qy * dx[None, :]) / ln[None, :]
-                    if degen.any():
-                        crossp = np.where(degen[None, :], np.hypot(qx, qy), crossp)
-                    t_par = (qx * dx[None, :] + qy * (y2 - y1)[None, :]) / (ln * ln)[None, :]
-                    if degen.any():
-                        t_par = np.where(degen[None, :], 0.0, t_par)
-                    on = (crossp <= predicates.EPS) & (t_par >= -predicates.EPS) \
-                        & (t_par <= 1 + predicates.EPS)
-                    hit0[s0:s1] = parity | on.any(axis=1)
+                    ents.append(ent)
+                # two regimes (same predicate, same arithmetic):
+                #  - FEW big tiles (sparse boundary sets, e.g. 34
+                #    provinces): per-tile (points × segments) broadcast —
+                #    the tile's segment arrays stay L1-resident while a
+                #    long contiguous point slice streams through.
+                #  - MANY tiny tiles (reference-density sets: the dense
+                #    fixture joins ~9k groups of ~7 points × ~3 segments
+                #    per Arrow batch): the per-group Python loop costs
+                #    more than the math — decompose into one ragged CSR
+                #    (pair, segment) row list and run ONE kernel per
+                #    batch, reducing parity/on-segment back per pair
+                #    with bincount (the Q3 refine's layout).
+                if len(starts) > 64:
+                    hit0 = _refine_csr(ents, starts, ends, px0, py0)
+                else:
+                    for gi, (s0, s1) in enumerate(zip(starts, ends)):
+                        x1, y1, x2, y2, yds, dx, ln, degen = ents[gi]
+                        p = px0[s0:s1][:, None]
+                        q = py0[s0:s1][:, None]
+                        cond = (y1[None, :] > q) != (y2[None, :] > q)
+                        xint = x1[None, :] + (q - y1[None, :]) / yds[None, :] * dx[None, :]
+                        crossing = cond & (p < xint)
+                        parity = (crossing.sum(axis=1) % 2) == 1
+                        qx = p - x1[None, :]
+                        qy = q - y1[None, :]
+                        crossp = np.abs(qx * (y2 - y1)[None, :] - qy * dx[None, :]) / ln[None, :]
+                        if degen.any():
+                            crossp = np.where(degen[None, :], np.hypot(qx, qy), crossp)
+                        t_par = (qx * dx[None, :] + qy * (y2 - y1)[None, :]) / (ln * ln)[None, :]
+                        if degen.any():
+                            t_par = np.where(degen[None, :], 0.0, t_par)
+                        on = (crossp <= predicates.EPS) & (t_par >= -predicates.EPS) \
+                            & (t_par <= 1 + predicates.EPS)
+                        hit0[s0:s1] = parity | on.any(axis=1)
                 back = np.empty(len(m0), dtype=np.int64)
                 back[order] = np.arange(len(m0))
                 hit_all[m0] = hit0[back]
@@ -237,6 +312,8 @@ class SpatialEngine:
         broadcast_tiles: bool = True,
         salt_buckets: int = 0,
         probe_salt: int = 8,
+        interior_broadcast_rows: int = 12_000_000,
+        boundary_broadcast_rows: int = 1_500_000,
     ):
         """salt_buckets: when the tile set is too large to broadcast
         (broadcast_tiles=False) the join becomes a shuffle join on
@@ -250,7 +327,17 @@ class SpatialEngine:
         points into a handful of boundary cells, and the (cell_id,
         salt) repartition splits each hot cell across `probe_salt`
         reducers (tile WKB broadcasts, so replication costs nothing).
-        1 disables (one reducer per cell — skew-exposed)."""
+        1 disables (one reducer per cell — skew-exposed).
+
+        interior_broadcast_rows / boundary_broadcast_rows: per-BRANCH
+        broadcast ceilings used when broadcast_tiles=False (whole table
+        past the one-shot threshold). The interior branch prunes to
+        16-byte (cell_id, region_id) pairs before broadcasting, so its
+        ceiling is high: broadcasting ~200 MB once beats sort-shuffling
+        the entire probe table (trillions of rows at the 100-TB
+        target). The boundary branch carries tile_wkb, so its ceiling
+        is lower. Past both ceilings the join degrades gracefully to
+        the salted sort-merge path."""
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
@@ -258,6 +345,9 @@ class SpatialEngine:
         self.broadcast_tiles = broadcast_tiles
         self.salt_buckets = salt_buckets
         self.probe_salt = max(1, probe_salt)
+        self.interior_broadcast_rows = interior_broadcast_rows
+        self.boundary_broadcast_rows = boundary_broadcast_rows
+        self._kind_counts: dict[int, int] | None = None
         # QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604):
         # build-phase metadata, populated by from_geojson / tile_store.load
         self._init_meta: dict = {}
@@ -334,6 +424,22 @@ class SpatialEngine:
 
     # ------------------------------------------------- shared join spine
 
+    def _tile_counts_by_kind(self) -> dict[int, int]:
+        """Per-kind tile counts, cached — ≤3 rows over the checkpointed
+        tile table (the engine's single metadata-sized driver collect;
+        shared by init_info and the per-branch join planner)."""
+        if self._kind_counts is None:
+            rows = self.tiles.groupBy("kind").count().collect()
+            self._kind_counts = {int(r["kind"]): int(r["count"]) for r in rows}
+        return self._kind_counts
+
+    def _tile_kind_counts(self) -> tuple[int, int]:
+        """(interior_rows, boundary_rows) — computed on the
+        broadcast_tiles=False path to pick per-branch join strategies.
+        Unfiltered counts are a safe upper bound under `where`."""
+        d = self._tile_counts_by_kind()
+        return d.get(1, 0), sum(v for k, v in d.items() if k != 1)
+
     def _probe_cells(self, points: DataFrame, lng="lng", lat="lat") -> DataFrame:
         """Attach the base-res cell_id — one pure Spark SQL expression
         (whole-stage codegen'd), one probe row per point."""
@@ -388,19 +494,54 @@ class SpatialEngine:
                 ["cell_id", "salt"], "left_semi")
             brows = bpts.join(tiles_b, ["cell_id", "salt"])
         else:
-            tiles_all = self._tiles_for(where)
-            interior = probe.join(
-                tiles_all.filter(F.col("kind") == 1), "cell_id"
-            ).select(*id_cols, "region_id")
-            tiles_b = tiles_all.filter(F.col("kind") != 1)
+            base = self._tiles_for(where, hint=False)
+            if self.broadcast_tiles:
+                tiles_all = F.broadcast(base)
+                tiles_i = tiles_all.filter(F.col("kind") == 1)
+                tiles_b = tiles_all.filter(F.col("kind") != 1)
+                bcast_b = True
+            else:
+                # PER-BRANCH broadcast decision. broadcast_tiles=False
+                # only says the WHOLE tile table (boundary WKB included)
+                # is past the one-shot broadcast threshold; the two join
+                # branches have very different widths and each may still
+                # be broadcastable on its own:
+                #   - interior rows prune to 16-byte (cell_id, region_id)
+                #     pairs — 12M rows ≈ a couple hundred MB hashed,
+                #     vs the alternative of sort-shuffling the ENTIRE
+                #     probe table (trillions of rows at the 100-TB
+                #     target). Measured on the reference-density set
+                #     (3.7M tiles, 10M probes, local[8]): forced SMJ
+                #     75-110 s vs per-branch broadcast ~4 s interior.
+                #   - boundary rows carry tile_wkb but are few (the
+                #     dense fixture: 450k of 3.7M).
+                # Only past these per-branch ceilings does the salted
+                # sort-merge path earn its shuffles.
+                n_i, n_b = self._tile_kind_counts()
+                ti = base.filter(F.col("kind") == 1) \
+                         .select("cell_id", "region_id")
+                tiles_i = (F.broadcast(ti)
+                           if n_i <= self.interior_broadcast_rows
+                           else ti.hint("shuffle_merge"))
+                tb = base.filter(F.col("kind") != 1)
+                bcast_b = n_b <= self.boundary_broadcast_rows
+                tiles_b = (F.broadcast(tb) if bcast_b
+                           else tb.hint("shuffle_merge"))
+            interior = probe.join(tiles_i, "cell_id") \
+                            .select(*id_cols, "region_id")
             # skinny semi-join first: only probes in boundary-ish cells
             # survive, ONE row each (no fan-out), then repartition by
             # (cell, salt) so the refine sees cell-contiguous batches —
             # each tile decodes on one task and its points arrive as one
             # dense group. The salt splits dense-city hot cells.
-            bpts = probe.join(
-                F.broadcast(tiles_b.select("cell_id").distinct()),
-                "cell_id", "left_semi")
+            # the distinct-cells list is far smaller than the boundary
+            # tile rows (no wkb, deduped) — broadcast it whenever the
+            # boundary branch itself is broadcastable (the hint does not
+            # survive the distinct aggregate, so re-apply explicitly)
+            bcells = tiles_b.select("cell_id").distinct()
+            if self.broadcast_tiles or bcast_b:
+                bcells = F.broadcast(bcells)
+            bpts = probe.join(bcells, "cell_id", "left_semi")
             n_parts = self.spark.sparkContext.defaultParallelism
             salt = F.pmod(F.xxhash64(F.col(lng), F.col(lat)),
                           F.lit(self.probe_salt)).cast("int")
@@ -517,8 +658,7 @@ class SpatialEngine:
         info["geometry_count"] = self.boundaries.filter(
             F.col("geom_wkb").isNotNull()).count()
         if with_tile_stats:
-            rows = self.tiles.groupBy("kind").count().collect()
-            by_kind = {int(r["kind"]): int(r["count"]) for r in rows}
+            by_kind = self._tile_counts_by_kind()
             info["polygon_count"] = sum(by_kind.values())
             info["interior_tiles"] = by_kind.get(1, 0) + by_kind.get(2, 0)
             info["boundary_tiles"] = by_kind.get(0, 0)

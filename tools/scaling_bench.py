@@ -75,7 +75,7 @@ def run(cpus: int, lookups: int, fixture: str = "province",
              "--py-files", zip_path,
              os.path.join(REPO, "tools", "submit_job.py"), str(lookups),
              fixture, str(base_res)],
-            capture_output=True, text=True, cwd=neutral_cwd, timeout=1800, env=env,
+            capture_output=True, text=True, cwd=neutral_cwd, timeout=3600, env=env,
         )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
