@@ -1437,59 +1437,28 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — EXACT, fully
-    distributed block-pair scan (no driver collect, no broadcast of the
-    table).
-
-    Physical strategy: vectors hash into B blocks; every unordered
-    block pair (p ≤ q) is one applyInPandas group, so each vector is
-    replicated exactly B times through ONE keyed shuffle and every
-    candidate pair is evaluated in exactly one numpy matmul group —
-    executors hold (2n/B × dims) floats per task, the driver holds
-    nothing. An exact cosine threshold scan is inherently Θ(n²) work;
-    at 10^9+ vectors the ANN gates (embedding_ann_lsh / embedding_ann_ivf)
-    are the scale path and this operator is the exactness baseline run
-    on capped subsets — but its plan now scales out with executors
-    instead of dying at the driver. Semantics identical to the DuckDB
-    brute-force oracle (rounding to 4dp absorbs fp-order noise)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    distributed, and since round 4 angle-band PRUNED
+    (pipeline/embedding_exact.py): vectors band by their arccos angle
+    to a deterministic pivot, and the spherical triangle inequality
+    proves band pairs beyond reach R = ⌊arccos(t)/w⌋+2 cannot contain a
+    qualifying pair, so they are never shuffled or compared. Work is
+    Θ(n²·reach·w/π) for angle-spread data — and the pruning sharpens as
+    the threshold rises (the production regime: t≥0.9) — instead of the
+    r3 block-pair design's unconditional Θ(n²). Worst case (a fully
+    self-similar corpus in one band) degrades to the old cost, never
+    below. No driver collect beyond the 1-row pivot; one keyed shuffle;
+    per-group numpy matmul. Output identical to the DuckDB brute-force
+    oracle (rounding to 4dp absorbs fp-order noise); exactness is also
+    property-tested vs numpy brute force in tests/test_embedding_exact.py.
+    At 10^9+ vectors the ANN gates (embedding_ann_lsh/_ivf) remain the
+    approximate fast path; this is the exactness baseline."""
+    from areacity_query_geometry_spark.pipeline.embedding_exact import (
+        near_dup_pairs,
+    )
 
     _register(spark, sf_dir, ("embeddings",))
-    B = 8
-    emb = spark.table("embeddings").select(
-        "vec_id", "embedding",
-        (F.col("vec_id") % B).cast("int").alias("blk"))
-    keyed = (emb.withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
-                .withColumn("p", F.least("blk", "other"))
-                .withColumn("q", F.greatest("blk", "other"))
-                .drop("other"))
-    schema = StructType([
-        StructField("v1", LongType()), StructField("v2", LongType()),
-        StructField("sim", DoubleType()),
-    ])
-
-    def block_pairs(key, pdf):
-        p, q = int(key[0]), int(key[1])
-        ids = pdf["vec_id"].to_numpy()
-        M = np.array(list(pdf["embedding"]), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        blk = pdf["blk"].to_numpy()
-        li = np.nonzero(blk == p)[0]
-        ri = np.nonzero(blk == q)[0]
-        sims = M[li] @ M[ri].T
-        idl, idr = ids[li], ids[ri]
-        if p == q:  # self block: upper triangle only (no dupes, no self)
-            a, b = np.nonzero((sims >= 0.4) & (idl[:, None] < idr[None, :]))
-        else:  # cross block: every pair, output order normalized below
-            a, b = np.nonzero(sims >= 0.4)
-        return pd.DataFrame({
-            "v1": np.minimum(idl[a], idr[b]).astype("int64"),
-            "v2": np.maximum(idl[a], idr[b]).astype("int64"),
-            "sim": np.round(sims[a, b], 4).astype("float64"),
-        })
-
-    return keyed.groupBy("p", "q").applyInPandas(block_pairs, schema)
+    return near_dup_pairs(spark.table("embeddings"), threshold=0.4,
+                          band_width=0.25)
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
