@@ -33,7 +33,8 @@ from pyspark.sql import (
     DataFrame, Observation, SparkSession, Window, functions as F,
 )
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from . import GRID_VERSION, grid, tiler
@@ -73,10 +74,20 @@ def _refine_csr(ents: list, starts: np.ndarray, ends: np.ndarray,
     idx = (np.arange(tot, dtype=np.int64)
            - np.repeat(row_start, segcnt)
            + np.repeat(seg_off[pair_grp], segcnt))
-    x1, y1, x2, y2 = X1[idx], Y1[idx], X2[idx], Y2[idx]
-    yds, dxv, ln, degen = YDS[idx], DX[idx], LN[idx], DEG[idx]
-    p = px0[row_pair]
-    q = py0[row_pair]
+    return _pair_hits_flat(X1[idx], Y1[idx], X2[idx], Y2[idx],
+                           YDS[idx], DX[idx], LN[idx], DEG[idx],
+                           row_pair, px0[row_pair], py0[row_pair], npairs)
+
+
+def _pair_hits_flat(x1, y1, x2, y2, yds, dxv, ln, degen,
+                    row_pair, p, q, npairs: int) -> np.ndarray:
+    """Shared flat (pair, segment)-row kernel: every input array is one
+    value per segment ROW (already gathered), `row_pair` maps each row
+    to its pair, `p`/`q` are the pair's point repeated per row. Crossing
+    parity (half-open `p < xint`) reduces per pair with bincount; EPS
+    on-segment acceptance ORs in. Arithmetic is pinned bit-for-bit by
+    tests/test_refine_csr.py — both the CSR refine and the broadcast
+    boundary-index refine call exactly this."""
     cond = (y1 > q) != (y2 > q)
     xint = x1 + (q - y1) / yds * dxv
     crossing = cond & (p < xint)
@@ -234,6 +245,108 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
     return _refine_point_batches
 
 
+def _make_index_refine_fn(id_cols: tuple[str, ...], bc):
+    """Boundary refine against a BROADCAST pre-decoded tile index — the
+    100-TB shape of the Q1 boundary leg. The join-based refine ships
+    every (point, tile) pair through Arrow with the tile's full WKB
+    bytes duplicated per matched point (measured on the dense fixture:
+    3.8M pairs ≈ 0.9 GB Arrow traffic per 10M probes) after a
+    repartition shuffle; here the probe rows stream through UNSHUFFLED
+    carrying only (*id_cols, lng, lat, cell_id) — pairs are formed
+    inside the kernel by `searchsorted` into the index's cell table,
+    segments address the index's pre-decoded CSR arrays directly, and
+    the flat kernel (`_pair_hits_flat`, bit-identical to the join
+    refine's) evaluates the whole batch in one pass. This is the
+    distributed analog of the reference's in-memory STRtree process
+    index (/root/reference/AreaCityQuery.java:50-53): the index ships
+    once per worker, the (100-TB) probe table never shuffles."""
+    id_list = list(id_cols)
+
+    def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[id_list].iloc[:0].copy()
+        out["region_id"] = pd.Series([], dtype="int64")
+        return out
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value  # unpickled once per worker process, reused
+        cells = idx["cells"]
+        cptr = idx["cell_ptr"]
+        for pdf in it:
+            n = len(pdf)
+            if n == 0 or len(cells) == 0:
+                yield _empty(pdf)
+                continue
+            cid = pdf["cell_id"].to_numpy()
+            px = np.asarray(pdf["lng"], dtype=np.float64)
+            py = np.asarray(pdf["lat"], dtype=np.float64)
+            ci = np.searchsorted(cells, cid)
+            np.clip(ci, 0, len(cells) - 1, out=ci)
+            rows = np.nonzero(cells[ci] == cid)[0]  # semi-join guard
+            if len(rows) == 0:
+                yield _empty(pdf)
+                continue
+            c0 = cptr[ci[rows]]
+            tcnt = cptr[ci[rows] + 1] - c0
+            tot = int(tcnt.sum())
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(tcnt[:-1], out=starts[1:])
+            pair_tile = (np.arange(tot, dtype=np.int64)
+                         - np.repeat(starts, tcnt) + np.repeat(c0, tcnt))
+            row_pt = np.repeat(rows, tcnt)
+            ppx = px[row_pt]
+            ppy = py[row_pt]
+            kindt = idx["kind"][pair_tile]
+            hit_rows, hit_regs = [], []
+
+            m2 = kindt == 2
+            if m2.any():
+                t2 = pair_tile[m2]
+                h2 = ((ppx[m2] >= idx["minx"][t2]) & (ppx[m2] < idx["maxx"][t2])
+                      & (ppy[m2] >= idx["miny"][t2]) & (ppy[m2] < idx["maxy"][t2]))
+                hit_rows.append(row_pt[m2][h2])
+                hit_regs.append(idx["region"][t2][h2])
+
+            m0 = np.nonzero(kindt == 0)[0]
+            if len(m0):
+                t0 = pair_tile[m0]
+                soff = idx["seg_ptr"][t0]
+                slen = idx["seg_ptr"][t0 + 1] - soff
+                tot_s = int(slen.sum())
+                npairs0 = len(m0)
+                row_pair = np.repeat(np.arange(npairs0, dtype=np.int64), slen)
+                rstart = np.zeros(npairs0, dtype=np.int64)
+                np.cumsum(slen[:-1], out=rstart[1:])
+                sidx = (np.arange(tot_s, dtype=np.int64)
+                        - np.repeat(rstart, slen) + np.repeat(soff, slen))
+                p0x = ppx[m0]
+                p0y = ppy[m0]
+                hit0 = _pair_hits_flat(
+                    idx["X1"][sidx], idx["Y1"][sidx], idx["X2"][sidx],
+                    idx["Y2"][sidx], idx["YDS"][sidx], idx["DX"][sidx],
+                    idx["LN"][sidx], idx["DEG"][sidx],
+                    row_pair, p0x[row_pair], p0y[row_pair], npairs0)
+                hit_rows.append(row_pt[m0][hit0])
+                hit_regs.append(idx["region"][t0][hit0])
+
+            hr = np.concatenate(hit_rows) if hit_rows else np.empty(0, np.int64)
+            if len(hr) == 0:
+                yield _empty(pdf)
+                continue
+            hg = np.concatenate(hit_regs)
+            # dedup (point, region): several sub-tiles of one region in
+            # one cell may all accept the same point
+            order = np.lexsort((hg, hr))
+            hr, hg = hr[order], hg[order]
+            keep = np.empty(len(hr), dtype=bool)
+            keep[0] = True
+            keep[1:] = (np.diff(hr) != 0) | (np.diff(hg) != 0)
+            out = pdf.iloc[hr[keep]][id_list].copy()
+            out["region_id"] = hg[keep].astype("int64")
+            yield out
+
+    return fn
+
+
 def _probe_is_rect(g: dict, b: tuple[float, float, float, float]) -> bool:
     """True when the probe geometry is exactly its bbox: a POINT
     (degenerate rect) or a single-ring axis-aligned rectangle POLYGON.
@@ -314,6 +427,7 @@ class SpatialEngine:
         probe_salt: int = 8,
         interior_broadcast_rows: int = 12_000_000,
         boundary_broadcast_rows: int = 1_500_000,
+        boundary_index_wkb_bytes: int = 128 << 20,
     ):
         """salt_buckets: when the tile set is too large to broadcast
         (broadcast_tiles=False) the join becomes a shuffle join on
@@ -337,7 +451,16 @@ class SpatialEngine:
         the entire probe table (trillions of rows at the 100-TB
         target). The boundary branch carries tile_wkb, so its ceiling
         is lower. Past both ceilings the join degrades gracefully to
-        the salted sort-merge path."""
+        the salted sort-merge path.
+
+        boundary_index_wkb_bytes: WKB-byte budget for the broadcast
+        boundary-tile index (the unshuffled Q1 boundary refine). The
+        decoded index is ~4× the WKB bytes, held once per Python
+        worker — the default prices a ~0.5 GB worker-side index, the
+        same in-memory-index regime the reference runs its whole
+        process in. Past the budget the boundary leg falls back to the
+        join-based refine (broadcast or salted SMJ per the row
+        ceilings). 0 disables the index path."""
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
@@ -347,7 +470,10 @@ class SpatialEngine:
         self.probe_salt = max(1, probe_salt)
         self.interior_broadcast_rows = interior_broadcast_rows
         self.boundary_broadcast_rows = boundary_broadcast_rows
+        self.boundary_index_wkb_bytes = boundary_index_wkb_bytes
         self._kind_counts: dict[int, int] | None = None
+        self._bindex: tuple | None = None  # (Broadcast, bcells_df)
+        self._bindex_off = False
         # QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604):
         # build-phase metadata, populated by from_geojson / tile_store.load
         self._init_meta: dict = {}
@@ -461,6 +587,103 @@ class SpatialEngine:
         # can't sneak a 3M+-row tile table into a broadcast build
         return t.hint("shuffle_merge")
 
+    def _boundary_index(self) -> tuple | None:
+        """Build (once, lazily) the broadcast boundary-tile index:
+        every kind≠1 tile pre-decoded into flat numpy CSR arrays —
+        sorted cell table, per-cell tile ranges, per-tile region/kind/
+        rect/segment ranges, concatenated segment component arrays with
+        the refine kernel's derived terms (yds/dx/ln/degen) computed
+        once at build instead of once per task.
+
+        Returns (Broadcast, bcells_df) or None when the boundary WKB
+        volume exceeds `boundary_index_wkb_bytes` (the join-based
+        refine paths take over). WKB decode runs DISTRIBUTED
+        (mapInPandas over the tile table); the driver only concatenates
+        the already-columnar arrays (one toPandas of ~the WKB volume,
+        bounded by the budget) and broadcasts them — workers unpickle
+        the index once per process and reuse it across tasks and jobs.
+        """
+        if self._bindex is not None:
+            return self._bindex
+        if self._bindex_off or self.boundary_index_wkb_bytes <= 0:
+            return None
+        tb = self.tiles.filter(F.col("kind") != 1)
+        stat = tb.agg(F.sum(F.length("tile_wkb")).alias("b")).collect()[0]
+        wkb_bytes = int(stat["b"] or 0)
+        if wkb_bytes > self.boundary_index_wkb_bytes:
+            self._bindex_off = True
+            return None
+
+        out_schema = StructType([
+            StructField("cell_id", LongType()),
+            StructField("region_id", LongType()),
+            StructField("kind", IntegerType()),
+            StructField("minx", DoubleType()),
+            StructField("miny", DoubleType()),
+            StructField("maxx", DoubleType()),
+            StructField("maxy", DoubleType()),
+            StructField("segs", BinaryType()),
+        ])
+
+        def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                segs = []
+                for w in pdf["tile_wkb"]:
+                    if w is None:
+                        segs.append(b"")
+                        continue
+                    g = wkb.loads(bytes(w))
+                    s = predicates.segments_of_rings(core.all_rings(g))
+                    segs.append(np.ascontiguousarray(
+                        s, dtype=np.float64).tobytes())
+                out = pdf[["cell_id", "region_id", "kind",
+                           "minx", "miny", "maxx", "maxy"]].copy()
+                out["segs"] = segs
+                yield out
+
+        pdf = (tb.select("cell_id", "region_id", "kind",
+                         "minx", "miny", "maxx", "maxy", "tile_wkb")
+               .mapInPandas(extract, out_schema).toPandas())
+        cell = pdf["cell_id"].to_numpy().astype(np.int64)
+        region = pdf["region_id"].to_numpy().astype(np.int64)
+        kind = pdf["kind"].to_numpy().astype(np.int64)
+        rect = {k: pdf[k].to_numpy().astype(np.float64)
+                for k in ("minx", "miny", "maxx", "maxy")}
+        order = np.lexsort((rect["miny"].view(np.int64),
+                            rect["minx"].view(np.int64), region, cell))
+        cell, region, kind = cell[order], region[order], kind[order]
+        rect = {k: v[order] for k, v in rect.items()}
+        segs_list = [pdf["segs"].iloc[i] for i in order]
+        seg_len = np.fromiter((len(b) // 32 for b in segs_list),
+                              dtype=np.int64, count=len(segs_list))
+        seg_ptr = np.zeros(len(segs_list) + 1, dtype=np.int64)
+        np.cumsum(seg_len, out=seg_ptr[1:])
+        S = np.frombuffer(b"".join(segs_list), dtype=np.float64)
+        S = S.reshape(-1, 4) if len(S) else S.reshape(0, 4)
+        x1, y1, x2, y2 = (np.ascontiguousarray(S[:, k]) for k in range(4))
+        yd = y2 - y1
+        yds = np.where(yd == 0, 1.0, yd)
+        dx = x2 - x1
+        ln = np.hypot(dx, yd)
+        degen = ln == 0
+        ln = np.where(degen, 1.0, ln)
+        cells, first = np.unique(cell, return_index=True)
+        cell_ptr = np.append(first, len(cell)).astype(np.int64)
+        idx = {
+            "cells": cells, "cell_ptr": cell_ptr,
+            "region": region, "kind": kind,
+            "minx": rect["minx"], "miny": rect["miny"],
+            "maxx": rect["maxx"], "maxy": rect["maxy"],
+            "seg_ptr": seg_ptr,
+            "X1": x1, "Y1": y1, "X2": x2, "Y2": y2,
+            "YDS": yds, "DX": dx, "LN": ln, "DEG": degen,
+        }
+        bc = self.spark.sparkContext.broadcast(idx)
+        bcells = self.spark.createDataFrame(
+            pd.DataFrame({"cell_id": cells})).localCheckpoint(eager=True)
+        self._bindex = (bc, bcells)
+        return self._bindex
+
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",
                       id_cols: tuple[str, ...] = ("point_id",),
@@ -529,33 +752,60 @@ class SpatialEngine:
                            else tb.hint("shuffle_merge"))
             interior = probe.join(tiles_i, "cell_id") \
                             .select(*id_cols, "region_id")
-            # skinny semi-join first: only probes in boundary-ish cells
-            # survive, ONE row each (no fan-out), then repartition by
-            # (cell, salt) so the refine sees cell-contiguous batches —
-            # each tile decodes on one task and its points arrive as one
-            # dense group. The salt splits dense-city hot cells.
-            # the distinct-cells list is far smaller than the boundary
-            # tile rows (no wkb, deduped) — broadcast it whenever the
-            # boundary branch itself is broadcastable (the hint does not
-            # survive the distinct aggregate, so re-apply explicitly)
-            bcells = tiles_b.select("cell_id").distinct()
-            if self.broadcast_tiles or bcast_b:
-                bcells = F.broadcast(bcells)
-            bpts = probe.join(bcells, "cell_id", "left_semi")
-            n_parts = self.spark.sparkContext.defaultParallelism
-            salt = F.pmod(F.xxhash64(F.col(lng), F.col(lat)),
-                          F.lit(self.probe_salt)).cast("int")
-            bpts = bpts.repartition(n_parts, F.col("cell_id"), salt)
-            brows = bpts.join(tiles_b, "cell_id")
-        boundary = brows.select(
-            *id_cols, F.col(lng).alias("lng"), F.col(lat).alias("lat"),
-            "cell_id", "region_id", "kind", "minx", "miny", "maxx", "maxy",
-            "tile_wkb",
-        )
-        refine_schema = StructType(
-            [points.schema[c] for c in id_cols] + [StructField("region_id", LongType())]
-        )
-        refined = boundary.mapInPandas(_make_refine_fn(id_cols), refine_schema)
+            bidx = (self._boundary_index()
+                    if (where is None and bcast_b) else None)
+            if bidx is not None:
+                # broadcast-index refine: the probe side streams through
+                # UNSHUFFLED — skinny semi-join against the index's cell
+                # list, then pairs form inside the kernel against the
+                # worker-resident pre-decoded index. No repartition, no
+                # per-pair tile_wkb duplication through Arrow.
+                bc, bcells_df = bidx
+                brows = None
+                bpts = probe.join(F.broadcast(bcells_df),
+                                  "cell_id", "left_semi")
+                sel = bpts.select(
+                    *id_cols, F.col(lng).alias("lng"),
+                    F.col(lat).alias("lat"), "cell_id")
+                refine_schema = StructType(
+                    [points.schema[c] for c in id_cols]
+                    + [StructField("region_id", LongType())])
+                refined = sel.mapInPandas(
+                    _make_index_refine_fn(id_cols, bc), refine_schema)
+            else:
+                # join-based refine (filtered `where`, or boundary set
+                # past the index budget): skinny semi-join first — only
+                # probes in boundary-ish cells survive, ONE row each (no
+                # fan-out), then repartition by (cell, salt) so the
+                # refine sees cell-contiguous batches — each tile
+                # decodes on one task and its points arrive as one dense
+                # group. The salt splits dense-city hot cells.
+                # the distinct-cells list is far smaller than the
+                # boundary tile rows (no wkb, deduped) — broadcast it
+                # whenever the boundary branch itself is broadcastable
+                # (the hint does not survive the distinct aggregate, so
+                # re-apply explicitly)
+                bcells = tiles_b.select("cell_id").distinct()
+                if self.broadcast_tiles or bcast_b:
+                    bcells = F.broadcast(bcells)
+                bpts = probe.join(bcells, "cell_id", "left_semi")
+                n_parts = self.spark.sparkContext.defaultParallelism
+                salt = F.pmod(F.xxhash64(F.col(lng), F.col(lat)),
+                              F.lit(self.probe_salt)).cast("int")
+                bpts = bpts.repartition(n_parts, F.col("cell_id"), salt)
+                brows = bpts.join(tiles_b, "cell_id")
+        if brows is not None:
+            boundary = brows.select(
+                *id_cols, F.col(lng).alias("lng"), F.col(lat).alias("lat"),
+                "cell_id", "region_id", "kind", "minx", "miny", "maxx",
+                "maxy", "tile_wkb",
+            )
+            refine_schema = StructType(
+                [points.schema[c] for c in id_cols]
+                + [StructField("region_id", LongType())]
+            )
+            refined = boundary.mapInPandas(
+                _make_refine_fn(id_cols), refine_schema)
         if observers is not None:
             obs_i, obs_r = observers
             interior = interior.observe(obs_i, F.count(F.lit(1)).alias("rows"))

@@ -66,6 +66,12 @@ class TestBucketedStore:
             eng2 = tile_store.load_bucketed(
                 spark, table, base_res=province_engine.base_res,
                 boundaries=province_engine.boundaries)
+            # pin the JOIN-based boundary path: this test asserts the
+            # bucketed FileScan in the tile-join plan, which is the
+            # over-index-budget regime (the broadcast boundary index
+            # otherwise serves small boundary sets without scanning
+            # the tile table at query time at all)
+            eng2.boundary_index_wkb_bytes = 0
             pts = _pts(spark, 800)
             old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
