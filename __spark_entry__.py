@@ -1101,6 +1101,51 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select("fp", "doc_id")
 
 
+def stream_geofence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming GEOFENCE transitions (streaming/
+    geofence_stream.py), VALUE-checked against a DuckDB lag-window
+    oracle: per-user time-ordered probe positions stream through the
+    engine's stream→static cell-grid join (deep=2 fences), then an
+    `applyInPandasWithState` operator keyed by user emits one row per
+    fence CHANGE (first observation transitions from 'NONE'). A fence
+    observation is min(code) over the point's matches, so edge-touch
+    duality collapses deterministically. Like stream_dedup_gate, the
+    gate pins single-batch delivery (one coalesced staged file) so the
+    stateful shift-compare equals the oracle's global lag; cross-batch
+    state carry is exercised separately in tests/test_geofence_stream.py
+    with mtime-ordered two-file delivery."""
+    import shutil
+
+    from areacity_query_geometry_spark.streaming import geofence_stream
+
+    eng = _engine(spark)
+    stage = "/tmp/aqgs_stream_geofence_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    _register(spark, sf_dir, ("events",))
+    spark.sql("""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               event_id AS point_id,
+               CAST(unix_timestamp(ts) AS BIGINT) AS epoch_s,
+               CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events
+    """).coalesce(1).write.mode("overwrite").parquet(f"{stage}/in")
+    stream = (spark.readStream
+              .schema("user_id long, point_id long, epoch_s long, "
+                      "lng double, lat double")
+              .parquet(f"{stage}/in"))
+    out = geofence_stream.stream_geofence(eng, stream, deep=2)
+    tbl = "stream_geofence_gate"
+    spark.catalog.dropTempView(tbl)
+    q = (out.writeStream.format("memory").queryName(tbl)
+         .outputMode("append")
+         .option("checkpointLocation", f"{stage}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(tbl).select("user_id", "point_id", "epoch_s",
+                                   "from_code", "to_code")
+
+
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-aggregation surface on the LARGEST test table (lineitem,
     600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
@@ -1840,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_point_lookup_gate": stream_point_lookup_gate,
         "stream_window_counts_gate": stream_window_counts_gate,
         "stream_dedup_gate": stream_dedup_gate,
+        "stream_geofence_gate": stream_geofence_gate,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
@@ -2328,6 +2374,38 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(doc_id AS VARCHAR)) AS doc_id
             FROM documents
             GROUP BY md5(lower(text))
+        """,
+        "stream_geofence_gate": f"""
+            WITH probes AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       event_id AS point_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                       CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events
+            ),
+            obs AS (
+                SELECT p.user_id, p.point_id, p.epoch_s,
+                       min(r.code) AS fence
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1
+                 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+                 AND r.deep = 2
+                GROUP BY 1, 2, 3
+            ),
+            seq AS (
+                SELECT user_id, point_id, epoch_s, fence,
+                       lag(fence) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_s, point_id) AS prev
+                FROM obs
+            )
+            SELECT user_id, point_id, epoch_s,
+                   coalesce(prev, 'NONE') AS from_code,
+                   fence AS to_code
+            FROM seq WHERE prev IS NULL OR prev <> fence
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
