@@ -649,6 +649,67 @@ def raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("region_code", "n_interior", "n_boundary")
 
 
+def raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster→vector (the direction raster_coverage doesn't exercise):
+    burn each region onto the uniform res-6 grid, then polygonize the
+    covered-cell mask back into vector rings (engine.vectorize_cells
+    dissolves shared edges; holes come back opposite-wound). The gate
+    measures the EMITTED GEOMETRY — axis-parallel perimeter and signed
+    shoelace area of the stitched rings, both exact dyadic arithmetic —
+    while the DuckDB oracle derives the same numbers WITHOUT stitching
+    (perimeter = unshared cell edges × 5.625°, area = covered cells ×
+    5.625°²), so any stitching defect (dropped edge, wrong winding,
+    unclosed ring) breaks value equality. 100 TB shape: one groupBy per
+    region (state bounded by that region's own cell count), no driver
+    collect; the measure stage is numpy over Arrow batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from areacity_query_geometry_spark.geom import wkt as wkt_codec
+
+    eng = _engine(spark)
+    cells = eng.rasterize_regions(6).select("region_id", "cell_id").distinct()
+    vec = eng.vectorize_cells(cells)
+    schema = StructType([
+        StructField("region_id", LongType()),
+        StructField("n_cells", LongType()),
+        StructField("perimeter_deg", DoubleType()),
+        StructField("area_deg2", DoubleType()),
+    ])
+
+    def measure(it):
+        for pdf in it:
+            rows = {"region_id": [], "n_cells": [],
+                    "perimeter_deg": [], "area_deg2": []}
+            for rid, n, text in zip(pdf["region_id"], pdf["n_cells"],
+                                    pdf["wkt"]):
+                geom = wkt_codec.loads(text)
+                perim = 0.0
+                area2 = 0.0  # twice the signed area, still exact
+                for rings in geom["polys"]:
+                    for ring in rings:
+                        xs, ys = ring[:, 0], ring[:, 1]
+                        perim += float(np.abs(np.diff(xs)).sum()
+                                       + np.abs(np.diff(ys)).sum())
+                        area2 += float(np.dot(xs[:-1], ys[1:])
+                                       - np.dot(xs[1:], ys[:-1]))
+                rows["region_id"].append(rid)
+                rows["n_cells"].append(n)
+                rows["perimeter_deg"].append(perim)
+                rows["area_deg2"].append(abs(area2) / 2.0)
+            yield pd.DataFrame(rows)
+
+    out = vec.mapInPandas(measure, schema)
+    return out.join(
+        F.broadcast(eng.boundaries.select(
+            "region_id", F.col("id").alias("region_code"))),
+        "region_id",
+    ).select("region_code", "n_cells", "perimeter_deg", "area_deg2")
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-bigram frequency (top English bigrams)."""
     _register(spark, sf_dir, ("documents",))
@@ -1890,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "raster_coverage": raster_coverage,
+        "raster_vectorize": raster_vectorize,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_token_stats": doc_token_stats,
@@ -2735,6 +2797,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(is_b) AS BIGINT) AS n_boundary
             FROM percell GROUP BY code
             HAVING sum(is_b) + sum(CASE WHEN is_b = 0 AND is_i = 1 THEN 1 ELSE 0 END) > 0
+        """,
+        "raster_vectorize": f"""
+            WITH cells AS (
+                SELECT -180.0 + i * 5.625 AS cx0, -90.0 + j * 5.625 AS cy0,
+                       -180.0 + (i + 1) * 5.625 AS cx1, -90.0 + (j + 1) * 5.625 AS cy1
+                FROM range(0, 64) t1(i), range(0, 32) t2(j)
+            ),
+            -- a cell is covered iff it intersects some part's rect and is
+            -- not strictly inside that part's hole (union over parts) —
+            -- algebraically the same set as raster_coverage's
+            -- boundary ∪ interior cells
+            covered AS (
+                SELECT DISTINCT r.code, c.cx0, c.cy0
+                FROM cells c CROSS JOIN {regions}
+                WHERE c.cx0 <= r.x1 AND c.cx1 >= r.x0
+                  AND c.cy0 <= r.y1 AND c.cy1 >= r.y0
+                  AND NOT (r.hx0 IS NOT NULL AND c.cx0 > r.hx0 AND c.cx1 < r.hx1
+                           AND c.cy0 > r.hy0 AND c.cy1 < r.hy1)
+            ),
+            counts AS (SELECT code, count(*) AS n FROM covered GROUP BY code),
+            -- each shared (dissolved) edge is one right-or-up neighbour pair
+            adj AS (
+                SELECT a.code, count(*) AS pairs
+                FROM covered a JOIN covered b
+                  ON a.code = b.code
+                 AND ((b.cx0 = a.cx0 + 5.625 AND b.cy0 = a.cy0)
+                      OR (b.cx0 = a.cx0 AND b.cy0 = a.cy0 + 5.625))
+                GROUP BY a.code
+            )
+            SELECT c.code AS region_code,
+                   CAST(c.n AS BIGINT) AS n_cells,
+                   CAST((4 * c.n - 2 * coalesce(a.pairs, 0)) * 5.625 AS DOUBLE)
+                       AS perimeter_deg,
+                   CAST(c.n * 31.640625 AS DOUBLE) AS area_deg2
+            FROM counts c LEFT JOIN adj a USING (code)
         """,
         "lang_id_ngram": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
