@@ -1207,6 +1207,45 @@ def stream_geofence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "from_code", "to_code")
 
 
+def events_region_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory analytics over the Q1 join (the batch face of
+    stream_geofence_gate): per-user, per-region DWELL time. Each probe's
+    fence observation is min(code) over its deep-2 matches (edge-touch
+    dedup); an observation's dwell is the seconds until that user's NEXT
+    observation (lead window over (epoch_s, point_id)); output is one
+    row per (user, fence) with total observations and summed dwell.
+    Everything after the cell-grid join is JVM codegen: one window over
+    the user partition, one hash aggregation — at 100 TB the window and
+    the agg share the user-key shuffle, and state per user is one row."""
+    from pyspark.sql import Window
+
+    eng = _engine(spark)
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql("""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               event_id AS point_id,
+               CAST(unix_timestamp(ts) AS BIGINT) AS epoch_s,
+               CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events
+    """)
+    m = eng.query_points(probes, where="deep = 2", with_props=False,
+                         id_cols=("user_id", "point_id", "epoch_s"))
+    obs = (m.join(F.broadcast(eng.boundaries.select(
+                      "region_id", F.col("id").alias("fence"))),
+                  "region_id")
+           .groupBy("user_id", "point_id", "epoch_s")
+           .agg(F.min("fence").alias("fence")))
+    w = Window.partitionBy("user_id").orderBy("epoch_s", "point_id")
+    seq = obs.withColumn("nxt", F.lead("epoch_s").over(w))
+    return (seq.groupBy("user_id", F.col("fence").alias("region_code"))
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.coalesce(F.sum(F.col("nxt") - F.col("epoch_s")),
+                            F.lit(0)).cast("long").alias("dwell_s"))
+            .select(F.col("user_id").cast("long"), "region_code",
+                    F.col("n_obs").cast("long"), "dwell_s"))
+
+
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-aggregation surface on the LARGEST test table (lineitem,
     600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
@@ -1950,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
+        "events_region_dwell": events_region_dwell,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "lang_id_ngram": lang_id_ngram,
@@ -2468,6 +2508,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(prev, 'NONE') AS from_code,
                    fence AS to_code
             FROM seq WHERE prev IS NULL OR prev <> fence
+        """,
+        "events_region_dwell": f"""
+            WITH probes AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       event_id AS point_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                       CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 101 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events
+            ),
+            obs AS (
+                SELECT p.user_id, p.point_id, p.epoch_s,
+                       min(r.code) AS fence
+                FROM probes p
+                JOIN {regions}
+                  ON p.lng >= r.x0 AND p.lng <= r.x1
+                 AND p.lat >= r.y0 AND p.lat <= r.y1
+                 AND NOT (r.hx0 IS NOT NULL AND p.lng > r.hx0 AND p.lng < r.hx1
+                          AND p.lat > r.hy0 AND p.lat < r.hy1)
+                 AND r.deep = 2
+                GROUP BY 1, 2, 3
+            ),
+            seq AS (
+                SELECT user_id, epoch_s, fence,
+                       lead(epoch_s) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_s, point_id) AS nxt
+                FROM obs
+            )
+            SELECT user_id, fence AS region_code,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(coalesce(sum(nxt - epoch_s), 0) AS BIGINT) AS dwell_s
+            FROM seq GROUP BY 1, 2
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
