@@ -49,7 +49,7 @@ def build_zip() -> str:
 
 
 def run(cpus: int, lookups: int, fixture: str = "province",
-        base_res: int = 13) -> dict:
+        base_res: int = 13, docs_n: int = 0) -> dict:
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
@@ -74,7 +74,7 @@ def run(cpus: int, lookups: int, fixture: str = "province",
              "--driver-memory", "60g",
              "--py-files", zip_path,
              os.path.join(REPO, "tools", "submit_job.py"), str(lookups),
-             fixture, str(base_res)],
+             fixture, str(base_res), str(docs_n)],
             capture_output=True, text=True, cwd=neutral_cwd, timeout=3600, env=env,
         )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -110,13 +110,19 @@ def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     lookups = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # docs-leg row count, decoupled from the headline (0 = lookups//10):
+    # at 40M docs the 4N docs leg saturates this single box's memory
+    # bandwidth (measured 0.746 efficiency with a depressed membw probe)
+    # while the headline still needs ≥400M probes to amortize fixed job
+    # overhead — size each leg inside the host's linear region
+    docs_n = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     # this sandbox is a Firecracker guest on a shared host — CPU steal
     # fluctuates minute to minute, so INTERLEAVE the two configs and keep
     # each one's best: both sample comparable host conditions
     small = big = None
     for _ in range(iters):
-        s = run(n_small, lookups)
-        b = run(n_small * 4, lookups)
+        s = run(n_small, lookups, docs_n=docs_n)
+        b = run(n_small * 4, lookups, docs_n=docs_n)
         if small is None:
             small, big = s, b
             continue
@@ -173,7 +179,7 @@ the local[{n_small * 4}] column and scaling multiplies across nodes.
 (target ≥ 0.8)
 
 Second leg, the north-star DOCS-TABLE shape: an interleaved
-text+geo+media spans table ({max(1_000_000, lookups // 10):,} docs) is
+text+geo+media spans table ({docs_n or max(1_000_000, lookups // 10):,} docs) is
 materialized to parquet first (untimed), then each timed run pays the
 pipeline a 100 TB table pays — columnar scan → pre-filtered explode
 (kind filter inside the array) → JVM geo parse → the same cell-grid join with (doc_id, span_idx) passthrough —

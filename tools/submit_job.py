@@ -39,6 +39,11 @@ def main():
     # the reference's own 11,034-QPS workload density, VERDICT r3 #1)
     fixture = sys.argv[2] if len(sys.argv) > 2 else "province"
     base_res = int(sys.argv[3]) if len(sys.argv) > 3 else 13
+    # 0 = derive from n; an explicit value decouples the docs leg from
+    # the headline leg so each can be sized inside the host's linear
+    # region (the two legs saturate memory bandwidth at different row
+    # counts — see BENCH/BASELINE.md variance prose)
+    docs_n_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     spark = SparkSession.builder.appName("aqgs-submit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
@@ -95,7 +100,7 @@ def main():
 
     from areacity_query_geometry_spark import docs as docsmod
 
-    n_docs = max(1_000_000, n // 10)
+    n_docs = docs_n_arg or max(1_000_000, n // 10)
     docs_dir = tempfile.mkdtemp(prefix="aqgs_docs_bench_")
     try:
         spark.range(n_docs).selectExpr(
