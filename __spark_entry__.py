@@ -1246,6 +1246,34 @@ def events_region_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_obs").cast("long"), "dwell_s"))
 
 
+def events_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN point→point join (knn.py): for each probe the 3 nearest
+    points of a second table by planar squared-degree distance —
+    grid-bucketed with ring expansion, NEVER a cross join (the DuckDB
+    oracle brute-forces the same answer; at 200 probes × 10k points
+    that's fine for an oracle, fatal as a plan). Coordinates are 1/64°
+    dyadic so d2 is exact in both engines; ties break by point_id."""
+    from areacity_query_geometry_spark import knn
+
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql("""
+        SELECT event_id AS probe_id,
+               CAST(event_id * 41 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 67 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events WHERE event_id % 50 = 0
+    """)
+    points = spark.sql("""
+        SELECT event_id AS point_id,
+               CAST(event_id * 53 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 89 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events
+    """)
+    out = knn.knn_point_join(probes, points, k=3, res=6)
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("rank").cast("long"),
+                      F.col("point_id").cast("long"), "d2")
+
+
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-aggregation surface on the LARGEST test table (lineitem,
     600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
@@ -1990,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "events_region_dwell": events_region_dwell,
+        "events_knn_points": events_knn_points,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "lang_id_ngram": lang_id_ngram,
@@ -2540,6 +2569,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_obs,
                    CAST(coalesce(sum(nxt - epoch_s), 0) AS BIGINT) AS dwell_s
             FROM seq GROUP BY 1, 2
+        """,
+        "events_knn_points": """
+            WITH probes AS (
+                SELECT event_id AS probe_id,
+                       CAST(event_id * 41 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 67 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events WHERE event_id % 50 = 0
+            ),
+            points AS (
+                SELECT event_id AS point_id,
+                       CAST(event_id * 53 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 89 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events
+            ),
+            cand AS (
+                SELECT p.probe_id, s.point_id,
+                       (s.lng - p.lng) * (s.lng - p.lng)
+                       + (s.lat - p.lat) * (s.lat - p.lat) AS d2,
+                       row_number() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY (s.lng - p.lng) * (s.lng - p.lng)
+                                    + (s.lat - p.lat) * (s.lat - p.lat),
+                                    s.point_id) AS rank
+                FROM probes p CROSS JOIN points s
+            )
+            SELECT probe_id, CAST(rank AS BIGINT) AS rank, point_id, d2
+            FROM cand WHERE rank <= 3
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
