@@ -47,6 +47,34 @@ from . import grid
 _MAX_ROUNDS = 16
 
 
+def _round_candidates(active: DataFrame, pts: DataFrame,
+                      w: float, n: int, pack: str):
+    """One round's cover + candidate stage (cov, cand) — split out so
+    tools/plan_audit.py can assert the join is an EQUI-join on cell_id
+    (never CartesianProduct / BroadcastNestedLoopJoin)."""
+    cov = active.selectExpr(
+        "probe_id", "lng", "lat", "rho",
+        f"least(greatest(CAST(floor((lng - rho + 180.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS ix0",
+        f"least(greatest(CAST(floor((lng + rho + 180.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS ix1",
+        f"least(greatest(CAST(floor((lat - rho + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy0",
+        f"least(greatest(CAST(floor((lat + rho + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy1",
+    ).withColumn(
+        "full_box",
+        F.expr(f"ix0 = 0L AND ix1 = {n - 1}L"
+               f" AND iy0 = 0L AND iy1 = {n - 1}L"))
+    cand = (cov
+            .withColumn("ix", F.explode(F.sequence("ix0", "ix1")))
+            .withColumn("iy", F.explode(F.sequence("iy0", "iy1")))
+            .selectExpr("probe_id", "lng", "lat", "rho", "full_box",
+                        f"{pack} AS cell_id")
+            .join(pts, "cell_id")
+            .selectExpr(
+                "probe_id", "rho", "full_box", "point_id",
+                "(plng - lng) * (plng - lng)"
+                " + (plat - lat) * (plat - lat) AS d2"))
+    return cov, cand
+
+
 def knn_point_join(probes: DataFrame, points: DataFrame, k: int = 3,
                    res: int = 6, growth: float = 4.0) -> DataFrame:
     """probes: (probe_id long, lng double, lat double);
@@ -73,26 +101,7 @@ def knn_point_join(probes: DataFrame, points: DataFrame, k: int = 3,
     for _ in range(_MAX_ROUNDS):
         if active.isEmpty():
             break
-        cov = active.selectExpr(
-            "probe_id", "lng", "lat", "rho",
-            f"least(greatest(CAST(floor((lng - rho + 180.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS ix0",
-            f"least(greatest(CAST(floor((lng + rho + 180.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS ix1",
-            f"least(greatest(CAST(floor((lat - rho + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy0",
-            f"least(greatest(CAST(floor((lat + rho + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy1",
-        ).withColumn(
-            "full_box",
-            F.expr(f"ix0 = 0L AND ix1 = {n - 1}L"
-                   f" AND iy0 = 0L AND iy1 = {n - 1}L"))
-        cand = (cov
-                .withColumn("ix", F.explode(F.sequence("ix0", "ix1")))
-                .withColumn("iy", F.explode(F.sequence("iy0", "iy1")))
-                .selectExpr("probe_id", "lng", "lat", "rho", "full_box",
-                            f"{pack} AS cell_id")
-                .join(pts, "cell_id")
-                .selectExpr(
-                    "probe_id", "rho", "full_box", "point_id",
-                    "(plng - lng) * (plng - lng)"
-                    " + (plat - lat) * (plat - lat) AS d2"))
+        cov, cand = _round_candidates(active, pts, w, n, pack)
         win = Window.partitionBy("probe_id").orderBy("d2", "point_id")
         topk = (cand.withColumn("rank", F.row_number().over(win))
                 .filter(F.col("rank") <= k)
