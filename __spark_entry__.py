@@ -1274,6 +1274,33 @@ def events_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("point_id").cast("long"), "d2")
 
 
+def events_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance-range join (knn.py::range_point_join): every
+    (probe, point) pair within 0.5° planar distance — one cover pass,
+    cell equi-join, d² ≤ ρ² filter; never a cross join (the DuckDB
+    oracle IS the cross join, fine at 200 × 10k). Dyadic coords and a
+    dyadic radius make the boundary d² = ρ² pairs land identically in
+    both engines."""
+    from areacity_query_geometry_spark import knn
+
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql("""
+        SELECT event_id AS probe_id,
+               CAST(event_id * 43 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 71 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events WHERE event_id % 50 = 0
+    """)
+    points = spark.sql("""
+        SELECT event_id AS point_id,
+               CAST(event_id * 59 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 83 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events
+    """)
+    out = knn.range_point_join(probes, points, radius_deg=0.5, res=6)
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("point_id").cast("long"), "d2")
+
+
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-aggregation surface on the LARGEST test table (lineitem,
     600k rows at sf0.1): TPC-H-Q1-shape pricing summary. Catalyst gives
@@ -2019,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "events_region_dwell": events_region_dwell,
         "events_knn_points": events_knn_points,
+        "events_range_points": events_range_points,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "lang_id_ngram": lang_id_ngram,
@@ -2596,6 +2624,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT probe_id, CAST(rank AS BIGINT) AS rank, point_id, d2
             FROM cand WHERE rank <= 3
+        """,
+        "events_range_points": """
+            WITH probes AS (
+                SELECT event_id AS probe_id,
+                       CAST(event_id * 43 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 71 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events WHERE event_id % 50 = 0
+            ),
+            points AS (
+                SELECT event_id AS point_id,
+                       CAST(event_id * 59 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 83 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events
+            )
+            SELECT p.probe_id, s.point_id,
+                   (s.lng - p.lng) * (s.lng - p.lng)
+                   + (s.lat - p.lat) * (s.lat - p.lat) AS d2
+            FROM probes p CROSS JOIN points s
+            WHERE (s.lng - p.lng) * (s.lng - p.lng)
+                  + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -75,6 +75,29 @@ def _round_candidates(active: DataFrame, pts: DataFrame,
     return cov, cand
 
 
+def range_point_join(probes: DataFrame, points: DataFrame,
+                     radius_deg: float, res: int = 6) -> DataFrame:
+    """Spatial distance-range join: every (probe, point) pair with
+    planar degree distance ≤ radius. ONE cover pass is complete and
+    exact — the radius-ρ Chebyshev box contains the full L2 disc, so
+    cover cells ⊇ all qualifying points and the d² ≤ ρ² filter is the
+    only refinement. Same cost model as one knn_point_join round:
+    probe fan-out = the box's cell count, equi-join on cell_id, never
+    a cross join. Returns (probe_id, point_id, d2)."""
+    w = 360.0 / (1 << res)
+    n = 1 << res
+    pack = (f"(CAST({res} AS BIGINT) * {1 << grid._RES_SHIFT}L"
+            f" + ix * {1 << grid._IX_SHIFT}L + iy)")
+    pts = points.selectExpr(
+        "point_id", "lng AS plng", "lat AS plat",
+        f"{grid.cell_id_sql_expr('lng', 'lat', res)} AS cell_id")
+    active = probes.selectExpr("probe_id", "lng", "lat").withColumn(
+        "rho", F.lit(float(radius_deg)))
+    _, cand = _round_candidates(active, pts, w, n, pack)
+    return (cand.filter(F.col("d2") <= F.col("rho") * F.col("rho"))
+            .select("probe_id", "point_id", "d2"))
+
+
 def knn_point_join(probes: DataFrame, points: DataFrame, k: int = 3,
                    res: int = 6, growth: float = 4.0) -> DataFrame:
     """probes: (probe_id long, lng double, lat double);

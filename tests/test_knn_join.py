@@ -67,3 +67,39 @@ class TestKnnPointJoin:
     def test_empty_probes(self, spark):
         got = _run(spark, [], [(1, 0.0, 0.0)], 3)
         assert got == set()
+
+
+class TestRangePointJoin:
+    def test_matches_brute_force(self, spark):
+        rng = np.random.default_rng(7)
+        points = [(i, int(rng.integers(0, 640)) / 64,
+                   int(rng.integers(0, 640)) / 64) for i in range(400)]
+        probes = [(100 + i, int(rng.integers(0, 640)) / 64,
+                   int(rng.integers(0, 640)) / 64) for i in range(40)]
+        r = 1.5
+        pdf = spark.createDataFrame(
+            probes, "probe_id long, lng double, lat double")
+        sdf = spark.createDataFrame(
+            points, "point_id long, lng double, lat double")
+        got = {(row.probe_id, row.point_id, row.d2)
+               for row in knn.range_point_join(pdf, sdf, r).collect()}
+        want = set()
+        for pid, px, py in probes:
+            for sid, sx, sy in points:
+                d2 = (px - sx) ** 2 + (py - sy) ** 2
+                if d2 <= r * r:
+                    want.add((pid, sid, d2))
+        assert got == want
+        assert len(got) > 50  # the fixture actually exercises pairs
+
+    def test_boundary_pair_included(self, spark):
+        """d² exactly ρ² must be included — the ≤ boundary is part of
+        the contract and lands identically in the oracle."""
+        pdf = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "probe_id long, lng double, lat double")
+        sdf = spark.createDataFrame(
+            [(2, 0.5, 0.0), (3, 0.5, 0.5)],
+            "point_id long, lng double, lat double")
+        got = {(row.probe_id, row.point_id)
+               for row in knn.range_point_join(pdf, sdf, 0.5).collect()}
+        assert got == {(1, 2)}
