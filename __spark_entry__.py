@@ -1268,7 +1268,12 @@ def events_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(event_id * 89 % 2560 AS DOUBLE) / 64 AS lat
         FROM events
     """)
-    out = knn.knn_point_join(probes, points, k=3, res=6)
+    # res 8 (1.40625° cells) keeps the round-1 candidate volume near
+    # probes × 9 cells × (points/cell) — at res 6 the fixture's point
+    # density put ~1.5k points in every cell and the round-1 window
+    # sorted ~28M rows (14.7 s at sf0.1); res 8 cuts it 16×. Pick res
+    # so the expected k-th neighbour sits inside one cell radius.
+    out = knn.knn_point_join(probes, points, k=3, res=8)
     return out.select(F.col("probe_id").cast("long"),
                       F.col("rank").cast("long"),
                       F.col("point_id").cast("long"), "d2")
