@@ -744,6 +744,27 @@ def raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("region_code", "n_cells", "perimeter_deg", "area_deg2")
 
 
+def region_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal overlay-area join (overlay.py): per (probe window, region)
+    EXACT area of intersection — the quantitative face of Q3's boolean
+    intersects (≙ beyond QueryGeometry, AreaCityQuery.java:179-309).
+    Interior tiles reduce to a clamped rect-overlap product in pure JVM
+    codegen; only boundary tiles reach the Arrow kernel, which re-clips
+    stored rings to (exact cell ∩ probe) and signs them by nesting
+    parity (holes subtract). Dyadic probe windows + dyadic fixture
+    coords make every contribution an exact multiple of 2^-21, so the
+    one-sum aggregation is order-independent and the DuckDB
+    rect-algebra oracle matches bit-for-bit."""
+    from areacity_query_geometry_spark import overlay
+
+    eng = _engine(spark)
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql(fixtures.overlay_probes_sql("events"))
+    out = overlay.overlay_rect_area(eng, probes)
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("region_id").cast("long"), "area")
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-bigram frequency (top English bigrams)."""
     _register(spark, sf_dir, ("documents",))
@@ -2085,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_points": events_range_points,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
+        "region_overlay_area": region_overlay_area,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_token_stats": doc_token_stats,
@@ -3044,6 +3066,23 @@ def oracle_sql() -> dict[str, str]:
                        AS perimeter_deg,
                    CAST(c.n * 31.640625 AS DOUBLE) AS area_deg2
             FROM counts c LEFT JOIN adj a USING (code)
+        """,
+        "region_overlay_area": f"""
+            WITH probes AS ({fixtures.overlay_probes_sql("events")}),
+            contrib AS (
+                SELECT p.probe_id, r.ord,
+                       greatest(0.0, least(r.x1, p.x1) - greatest(r.x0, p.x0))
+                       * greatest(0.0, least(r.y1, p.y1) - greatest(r.y0, p.y0))
+                       - CASE WHEN r.hx0 IS NOT NULL THEN
+                           greatest(0.0, least(r.hx1, p.x1) - greatest(r.hx0, p.x0))
+                           * greatest(0.0, least(r.hy1, p.y1) - greatest(r.hy0, p.y0))
+                         ELSE 0.0 END AS a
+                FROM probes p CROSS JOIN {regions}
+            )
+            SELECT probe_id, CAST(ord AS BIGINT) AS region_id,
+                   sum(a) AS area
+            FROM contrib GROUP BY probe_id, ord
+            HAVING sum(a) > 0.0
         """,
         "lang_id_ngram": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

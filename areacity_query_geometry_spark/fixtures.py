@@ -121,6 +121,24 @@ def point_probes_sql(events: str = "events") -> str:
     )
 
 
+def overlay_probes_sql(events: str = "events") -> str:
+    """Deterministic dyadic probe WINDOWS for the overlay-area join:
+    corners on the 1/64° grid, widths/heights multiples of 1/8° up to
+    12° — every coordinate a multiple of 2^-10, so probe∩region areas
+    are exact in IEEE doubles on BOTH engines. Identical SQL for Spark
+    and DuckDB."""
+    return (
+        f"SELECT event_id AS probe_id, "
+        f"CAST(event_id * 19 % 2048 AS DOUBLE) / 64 AS x0, "
+        f"CAST(event_id * 23 % 2048 AS DOUBLE) / 64 AS y0, "
+        f"CAST(event_id * 19 % 2048 AS DOUBLE) / 64"
+        f" + (1.0 + CAST(event_id * 5 % 96 AS DOUBLE)) / 8 AS x1, "
+        f"CAST(event_id * 23 % 2048 AS DOUBLE) / 64"
+        f" + (1.0 + CAST(event_id * 11 % 96 AS DOUBLE)) / 8 AS y1 "
+        f"FROM {events} WHERE event_id % 200 = 0"
+    )
+
+
 def miss_probes_sql(events: str = "events") -> str:
     """Probes strictly OUTSIDE the region world (negative lng) for the
     tolerance/kNN query; 1/64° grid again."""

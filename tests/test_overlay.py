@@ -1,0 +1,145 @@
+"""Overlay-area join (overlay.py): unit kernels + exact end-to-end
+equality against rect-algebra brute force on the fixture world."""
+import numpy as np
+import pytest
+
+from areacity_query_geometry_spark import fixtures, overlay
+from areacity_query_geometry_spark.geom import core
+
+
+def _ring(pts):
+    return core.ensure_closed(np.asarray(pts, dtype=np.float64))
+
+
+class TestKernels:
+    def test_csr_ring_areas(self):
+        # two open rings: unit square CCW, 2x1 rect CW, one empty slice
+        vx = np.array([0.0, 1, 1, 0, 0, 0, 2, 2])
+        vy = np.array([0.0, 0, 1, 1, 0, 1, 1, 0])
+        offsets = np.array([0, 4, 4, 8], dtype=np.int64)
+        a = overlay.csr_ring_areas(vx, vy, offsets)
+        assert a.tolist() == [1.0, 0.0, -2.0]
+
+    def test_csr_empty(self):
+        a = overlay.csr_ring_areas(
+            np.zeros(0), np.zeros(0), np.array([0, 0, 0], dtype=np.int64))
+        assert a.tolist() == [0.0, 0.0]
+
+    def test_interior_sample(self):
+        r = _ring([(0, 0), (4, 0), (4, 2), (0, 2)])
+        x, y = overlay.interior_sample(r)
+        assert 0 < x < 4 and 0 < y < 2
+
+    def test_interior_sample_degenerate(self):
+        assert overlay.interior_sample(
+            _ring([(0, 0), (4, 0), (8, 0)])) is None
+
+    def test_ring_signs_shell_hole_same_orientation(self):
+        # fixture convention: hole ring has the SAME (CCW) orientation
+        # as the shell — the sign must come from nesting, not winding
+        shell = _ring([(0, 0), (10, 0), (10, 10), (0, 10)])
+        hole = _ring([(2, 2), (3, 2), (3, 3), (2, 3)])
+        assert overlay.ring_signs([shell, hole]).tolist() == [1.0, -1.0]
+        assert overlay.ring_signs([hole, shell]).tolist() == [-1.0, 1.0]
+
+    def test_ring_signs_island_in_lake(self):
+        shell = _ring([(0, 0), (10, 0), (10, 10), (0, 10)])
+        lake = _ring([(1, 1), (9, 1), (9, 9), (1, 9)])
+        island = _ring([(4, 4), (6, 4), (6, 6), (4, 6)])
+        assert overlay.ring_signs([shell, lake, island]).tolist() == \
+            [1.0, -1.0, 1.0]
+
+    def test_ring_signs_single(self):
+        assert overlay.ring_signs(
+            [_ring([(0, 0), (1, 0), (1, 1), (0, 1)])]).tolist() == [1.0]
+
+
+def brute_overlay(px0, py0, px1, py1):
+    """Rect-algebra ground truth straight from the fixture definition."""
+    out = {}
+    for ordn, code, deep, parts, hole in fixtures.region_rows():
+        a = 0.0
+        for (x0, y0, x1, y1) in parts:
+            a += max(0.0, min(x1, px1) - max(x0, px0)) \
+                * max(0.0, min(y1, py1) - max(y0, py0))
+            if hole and hole[0] >= x0 and hole[2] <= x1 \
+                    and hole[1] >= y0 and hole[3] <= y1:
+                a -= max(0.0, min(hole[2], px1) - max(hole[0], px0)) \
+                    * max(0.0, min(hole[3], py1) - max(hole[1], py0))
+        if a > 0.0:
+            out[ordn] = a
+    return out
+
+
+@pytest.fixture(scope="module")
+def world_engine(spark):
+    from areacity_query_geometry_spark import tiler
+    from areacity_query_geometry_spark.engine import SpatialEngine
+
+    boundaries = fixtures.boundaries_df(spark).cache()
+    tiles = tiler.build_tiles(boundaries, base_res=7, max_res=9).cache()
+    tiles.count()
+    return SpatialEngine(spark, boundaries, tiles, base_res=7)
+
+
+def run_overlay(spark, eng, windows):
+    probes = spark.createDataFrame(
+        [(int(i), float(a), float(b), float(c), float(d))
+         for i, (a, b, c, d) in enumerate(windows)],
+        "probe_id long, x0 double, y0 double, x1 double, y1 double")
+    rows = overlay.overlay_rect_area(eng, probes).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(int(r["probe_id"]), {})[int(r["region_id"])] = \
+            float(r["area"])
+    return got
+
+
+class TestOverlayArea:
+    def test_targeted_windows_exact(self, spark, world_engine):
+        windows = [
+            (5.0, 5.0, 10.0, 10.0),       # exactly district D11
+            (1.5, 1.5, 4.0, 4.0),         # straddles the hole
+            (2.25, 2.25, 2.75, 2.75),     # entirely inside the hole
+            (20.0, 0.0, 25.0, 5.0),       # edge-touches P00 (area 0)
+            (36.5, 0.5, 39.5, 2.5),       # covers one S1 part
+            (0.5, 36.5, 41.0, 39.5),      # other S1 part + world edge
+            (-2.0, -2.0, 0.0, 0.0),       # touches world corner only
+            (38.0, 38.0, 52.0, 52.0),     # mostly outside the world
+        ]
+        got = run_overlay(spark, world_engine, windows)
+        for i, (a, b, c, d) in enumerate(windows):
+            assert got.get(i, {}) == brute_overlay(a, b, c, d), \
+                f"window {i} {(a, b, c, d)}"
+
+    def test_hole_window_values(self, spark, world_engine):
+        # straddling window: P00/D00 lose exactly the 1x1 hole overlap
+        got = run_overlay(spark, world_engine, [(1.5, 1.5, 4.0, 4.0)])[0]
+        assert got[1] == 6.25 - 1.0       # P00
+        # inside-hole window: P00/D00 absent, city C00 still covers
+        got2 = run_overlay(
+            spark, world_engine, [(2.25, 2.25, 2.75, 2.75)])[0]
+        assert 1 not in got2
+        assert got2[5] == 0.25            # C00: 0.5 * 0.5
+
+    def test_pseudorandom_windows_exact(self, spark, world_engine):
+        rng = np.random.RandomState(7)
+        windows = []
+        for _ in range(48):
+            x0 = rng.randint(0, 2560) / 64.0
+            y0 = rng.randint(0, 2560) / 64.0
+            wdt = (1 + rng.randint(0, 96)) / 8.0
+            hgt = (1 + rng.randint(0, 96)) / 8.0
+            windows.append((x0, y0, x0 + wdt, y0 + hgt))
+        got = run_overlay(spark, world_engine, windows)
+        for i, (a, b, c, d) in enumerate(windows):
+            assert got.get(i, {}) == brute_overlay(a, b, c, d), \
+                f"window {i} {(a, b, c, d)}"
+
+    def test_where_filter(self, spark, world_engine):
+        probes = spark.createDataFrame(
+            [(0, 1.5, 1.5, 4.0, 4.0)],
+            "probe_id long, x0 double, y0 double, x1 double, y1 double")
+        rows = overlay.overlay_rect_area(
+            world_engine, probes, where="deep = 0").collect()
+        assert {int(r["region_id"]) for r in rows} == {1}
