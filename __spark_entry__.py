@@ -765,6 +765,93 @@ def region_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("region_id").cast("long"), "area")
 
 
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter (the Gopher/RefinedWeb
+    rule family): per doc, the duplicate-token fraction, the top
+    token's share, and the duplicate-2-gram fraction, plus a `keep`
+    verdict at dyadic thresholds (15/16 and 1/2 — exact comparisons in
+    both engines). Pure built-in SQL: one explode + two hash
+    aggregations keyed by doc_id, so at 10^12 docs the shuffle carries
+    only per-doc token counts (map-side combine collapses each doc's
+    tokens inside its partition); no UDF, no driver state."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        tc AS (
+            SELECT doc_id, n_tokens, w, count(*) AS c FROM (
+                SELECT doc_id, size(ws) AS n_tokens, w
+                FROM w LATERAL VIEW explode(ws) t AS w
+            ) GROUP BY doc_id, n_tokens, w
+        ),
+        stats AS (
+            SELECT doc_id, n_tokens, count(*) AS n_distinct,
+                   max(c) AS top_count,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tokens
+            FROM tc GROUP BY doc_id, n_tokens
+        ),
+        bg AS (
+            SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       explode(transform(slice(ws, 1, size(ws) - 1),
+                               (x, i) -> concat(x, ' ', element_at(ws, i + 2)))) AS g
+                FROM w
+            ) GROUP BY doc_id, g
+        ),
+        bstats AS (
+            SELECT doc_id, sum(c) AS n_bigrams,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
+            FROM bg GROUP BY doc_id
+        )
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               CAST(s.n_distinct AS BIGINT) AS n_distinct,
+               round(CAST(s.dup_tokens AS DOUBLE) / s.n_tokens, 4) AS dup_token_ratio,
+               round(CAST(s.top_count AS DOUBLE) / s.n_tokens, 4) AS top_token_share,
+               round(CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams, 4) AS dup_bigram_ratio,
+               (CAST(s.dup_tokens AS DOUBLE) / s.n_tokens <= 0.9375
+                AND CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams <= 0.5) AS keep
+        FROM stats s JOIN bstats b USING (doc_id)
+    """)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the classic clickstream op: split each user's
+    event sequence at >30-minute inactivity gaps (lag + cumulative-sum
+    window), then aggregate per session. ONE shuffle by user_id shared
+    by both windows and the final group-by (same partition key); all
+    arithmetic is integer epoch seconds, exact in both engines. Skew
+    bounds at rows-per-user, the same guarantee as events_asof_join."""
+    _register(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(unix_timestamp(ts) AS BIGINT) AS es
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, event_id, es,
+                   CASE WHEN es - lag(es) OVER (
+                            PARTITION BY user_id ORDER BY es, event_id
+                        ) > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, es,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY es, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM g
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(es) AS BIGINT) AS start_epoch,
+               CAST(max(es) - min(es) AS BIGINT) AS duration_s
+        FROM s GROUP BY user_id, session_seq
+    """)
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-bigram frequency (top English bigrams)."""
     _register(spark, sf_dir, ("documents",))
@@ -2107,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "region_overlay_area": region_overlay_area,
+        "doc_repetition_filter": doc_repetition_filter,
+        "events_sessionize": events_sessionize,
         "lang_id_ngram": lang_id_ngram,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_token_stats": doc_token_stats,
@@ -3083,6 +3172,70 @@ def oracle_sql() -> dict[str, str]:
                    sum(a) AS area
             FROM contrib GROUP BY probe_id, ord
             HAVING sum(a) > 0.0
+        """,
+        "doc_repetition_filter": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            tc AS (
+                SELECT doc_id, n_tokens, w, count(*) AS c FROM (
+                    SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS w FROM w
+                ) GROUP BY doc_id, n_tokens, w
+            ),
+            stats AS (
+                SELECT doc_id, n_tokens, count(*) AS n_distinct,
+                       max(c) AS top_count,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tokens
+                FROM tc GROUP BY doc_id, n_tokens
+            ),
+            bg AS (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])) AS g
+                    FROM w
+                ) GROUP BY doc_id, g
+            ),
+            bstats AS (
+                SELECT doc_id, sum(c) AS n_bigrams,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
+                FROM bg GROUP BY doc_id
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(s.n_distinct AS BIGINT) AS n_distinct,
+                   round(CAST(s.dup_tokens AS DOUBLE) / s.n_tokens, 4) AS dup_token_ratio,
+                   round(CAST(s.top_count AS DOUBLE) / s.n_tokens, 4) AS top_token_share,
+                   round(CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams, 4) AS dup_bigram_ratio,
+                   (CAST(s.dup_tokens AS DOUBLE) / s.n_tokens <= 0.9375
+                    AND CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams <= 0.5) AS keep
+            FROM stats s JOIN bstats b USING (doc_id)
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, event_id, es,
+                       CASE WHEN es - lag(es) OVER (
+                                PARTITION BY user_id ORDER BY es, event_id
+                            ) > 1800 THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ),
+            s AS (
+                SELECT user_id, es,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_seq
+                FROM g
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(es) AS BIGINT) AS start_epoch,
+                   CAST(max(es) - min(es) AS BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_seq
         """,
         "lang_id_ngram": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
