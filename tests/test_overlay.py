@@ -136,6 +136,33 @@ class TestOverlayArea:
             assert got.get(i, {}) == brute_overlay(a, b, c, d), \
                 f"window {i} {(a, b, c, d)}"
 
+    def test_province_total_area_roundtrip(self, spark, province_engine):
+        """Real (curved) geometry end-to-end: a window covering all of
+        China must give, per region, exactly that region's own polygon
+        area (shell minus holes, from the source WKB) — checking the
+        tile partition, the exact-cell re-clip (CLIP_EPS undo), and the
+        nesting signs on non-rectilinear pieces in one identity."""
+        from areacity_query_geometry_spark.geom import core as gcore, wkb
+
+        rows = province_engine.boundaries.select(
+            "region_id", "geom_wkb").collect()
+        want = {}
+        for r in rows:
+            if r["geom_wkb"] is None:
+                continue
+            g = wkb.loads(bytes(r["geom_wkb"]))
+            a = 0.0
+            for rings in gcore.polygons_of(g):
+                a += abs(gcore.ring_area(rings[0]))
+                for h in rings[1:]:
+                    a -= abs(gcore.ring_area(h))
+            want[int(r["region_id"])] = a
+        got = run_overlay(spark, province_engine,
+                          [(70.0, 0.0, 140.0, 60.0)])[0]
+        assert set(got) == {k for k, v in want.items() if v > 0}
+        for rid, area in got.items():
+            assert area == pytest.approx(want[rid], rel=1e-9), rid
+
     def test_where_filter(self, spark, world_engine):
         probes = spark.createDataFrame(
             [(0, 1.5, 1.5, 4.0, 4.0)],
