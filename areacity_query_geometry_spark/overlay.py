@@ -215,11 +215,27 @@ def _boundary_overlay_fn(it):
 
 
 def overlay_rect_area(eng, probes: DataFrame,
-                      where: str | None = None) -> DataFrame:
+                      where: str | None = None,
+                      max_cells_per_side: int | None = None) -> DataFrame:
     """probes: (probe_id long, x0, y0, x1, y1 double) axis-aligned
     windows. Returns (probe_id, region_id, area) — planar square-degree
     area of probe∩region for every overlapping region (boundary-touch
-    pairs have area 0 and are dropped, matching an area > 0 oracle)."""
+    pairs have area 0 and are dropped, matching an area > 0 oracle).
+
+    max_cells_per_side caps the per-task cover fan-out of HUGE windows:
+    a window spanning more than that many base-res cells on a side is
+    decomposed (in pure codegen SQL) into grid-aligned sub-windows of at
+    most max_cells_per_side² cells each before the cover explode, and
+    the existing probe_id sum re-assembles them. Sub-window edges lie ON
+    cell boundaries (exact dyadic multiples of 45·2^(3-res)), and tiles
+    never cross cell lines, so every per-tile contribution — interior
+    rect product and boundary ring clip alike — is BIT-IDENTICAL to the
+    undecomposed run; only the summation grouping changes, and the sum
+    itself is exact for dyadic inputs (module docstring). This is the
+    SCALE.md overlay recipe for continent-scale windows: fan-out per
+    exploded row stays bounded, skew from one giant window spreads
+    across tasks.
+    """
     res = eng.base_res
     w = 360.0 / (1 << res)
     n = 1 << res
@@ -233,6 +249,25 @@ def overlay_rect_area(eng, probes: DataFrame,
         f"least(greatest(CAST(floor((y0 + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy0",
         f"least(greatest(CAST(floor((y1 + 90.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS iy1",
     )
+    if max_cells_per_side is not None:
+        m = int(max_cells_per_side)
+        if m < 1:
+            raise ValueError("max_cells_per_side must be >= 1")
+        # chunk starts every m cells; each sub-window's cell range is
+        # [cx, min(cx+m-1, ix1)] and its probe rect is clamped to the
+        # chunk's OUTER cell boundaries (so cell∩sub-probe ≡ cell∩probe
+        # for every cell in the chunk — bit-identical contributions).
+        cov = (cov
+               .withColumn("cx", F.explode(F.expr(f"sequence(ix0, ix1, {m})")))
+               .withColumn("cy", F.explode(F.expr(f"sequence(iy0, iy1, {m})")))
+               .selectExpr(
+                   "probe_id",
+                   f"greatest(px0, cx * {w!r} - 180.0D) AS px0",
+                   f"greatest(py0, cy * {w!r} - 90.0D) AS py0",
+                   f"least(px1, (cx + {m}) * {w!r} - 180.0D) AS px1",
+                   f"least(py1, (cy + {m}) * {w!r} - 90.0D) AS py1",
+                   "cx AS ix0", f"least(cx + {m - 1}L, ix1) AS ix1",
+                   "cy AS iy0", f"least(cy + {m - 1}L, iy1) AS iy1"))
     cand = (cov
             .withColumn("ix", F.explode(F.sequence("ix0", "ix1")))
             .withColumn("iy", F.explode(F.sequence("iy0", "iy1")))

@@ -82,12 +82,12 @@ def world_engine(spark):
     return SpatialEngine(spark, boundaries, tiles, base_res=7)
 
 
-def run_overlay(spark, eng, windows):
+def run_overlay(spark, eng, windows, **kw):
     probes = spark.createDataFrame(
         [(int(i), float(a), float(b), float(c), float(d))
          for i, (a, b, c, d) in enumerate(windows)],
         "probe_id long, x0 double, y0 double, x1 double, y1 double")
-    rows = overlay.overlay_rect_area(eng, probes).collect()
+    rows = overlay.overlay_rect_area(eng, probes, **kw).collect()
     got = {}
     for r in rows:
         got.setdefault(int(r["probe_id"]), {})[int(r["region_id"])] = \
@@ -170,3 +170,46 @@ class TestOverlayArea:
         rows = overlay.overlay_rect_area(
             world_engine, probes, where="deep = 0").collect()
         assert {int(r["region_id"]) for r in rows} == {1}
+
+
+class TestDecomposition:
+    """max_cells_per_side splits huge windows into grid-aligned
+    sub-windows; contributions must be BIT-identical to the
+    undecomposed run (sub-window edges lie on cell lines and tiles
+    never cross cell lines — only the summation grouping changes, and
+    the dyadic sums are order-independent)."""
+
+    def test_pseudorandom_bitexact_all_chunk_sizes(
+            self, spark, world_engine):
+        rng = np.random.RandomState(11)
+        windows = []
+        for _ in range(32):
+            x0 = rng.randint(0, 2560) / 64.0
+            y0 = rng.randint(0, 2560) / 64.0
+            wdt = (1 + rng.randint(0, 96)) / 8.0
+            hgt = (1 + rng.randint(0, 96)) / 8.0
+            windows.append((x0, y0, x0 + wdt, y0 + hgt))
+        base = run_overlay(spark, world_engine, windows)
+        for m in (1, 3, 16):
+            got = run_overlay(spark, world_engine, windows,
+                              max_cells_per_side=m)
+            assert got == base, f"max_cells_per_side={m}"
+
+    def test_world_window_bitexact(self, spark, world_engine):
+        # a window covering the whole fixture world, decomposed into
+        # single-cell sub-windows — the extreme fan-out case
+        windows = [(-2.0, -2.0, 52.0, 52.0)]
+        base = run_overlay(spark, world_engine, windows)
+        got = run_overlay(spark, world_engine, windows,
+                          max_cells_per_side=1)
+        assert got == base
+        for rid, area in base[0].items():
+            assert area == brute_overlay(*windows[0])[rid]
+
+    def test_rejects_bad_chunk(self, spark, world_engine):
+        probes = spark.createDataFrame(
+            [(0, 1.0, 1.0, 2.0, 2.0)],
+            "probe_id long, x0 double, y0 double, x1 double, y1 double")
+        with pytest.raises(ValueError):
+            overlay.overlay_rect_area(world_engine, probes,
+                                      max_cells_per_side=0)
