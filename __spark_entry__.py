@@ -765,6 +765,31 @@ def region_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("region_id").cast("long"), "area")
 
 
+def raster_zonal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal statistics (overlay.py::zonal_raster_sum) —
+    the third face of raster↔vector next to raster_coverage
+    (vector→raster) and raster_vectorize (raster→vector): a raster
+    VALUE grid (res-8 cells, dyadic values) is reduced per region to
+    Σ value · area(cell ∩ region) plus the overlapping-cell count.
+    Cell rects come out of the packed id in pure codegen bit
+    arithmetic; the area machinery is the verified overlay join
+    (interior rect products in JVM codegen, boundary tiles through the
+    CSR clip kernel). All contributions exact dyadics → the DuckDB
+    rect-algebra oracle matches bit-for-bit."""
+    from areacity_query_geometry_spark import grid, overlay
+
+    eng = _engine(spark)
+    _register(spark, sf_dir, ("events",))
+    cells = spark.sql(fixtures.zonal_raster_cells_sql("events"))
+    raster = cells.selectExpr(
+        f"(CAST(8 AS BIGINT) * {1 << grid._RES_SHIFT}L"
+        f" + ix * {1 << grid._IX_SHIFT}L + iy) AS cell_id",
+        "value")
+    out = overlay.zonal_raster_sum(eng, raster)
+    return out.select(F.col("region_id").cast("long"),
+                      F.col("n_cells").cast("long"), "weighted_sum")
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality filter (the Gopher/RefinedWeb
     rule family): per doc, the duplicate-token fraction, the top
@@ -2194,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "region_overlay_area": region_overlay_area,
+        "raster_zonal_sum": raster_zonal_sum,
         "doc_repetition_filter": doc_repetition_filter,
         "events_sessionize": events_sessionize,
         "lang_id_ngram": lang_id_ngram,
@@ -3172,6 +3198,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(a) AS area
             FROM contrib GROUP BY probe_id, ord
             HAVING sum(a) > 0.0
+        """,
+        "raster_zonal_sum": f"""
+            WITH cells AS ({fixtures.zonal_raster_cells_sql("events")}),
+            contrib AS (
+                SELECT c.ix, c.iy, c.value, r.ord,
+                       greatest(0.0, least(r.x1, (c.ix + 1) * (45.0 / 32) - 180)
+                                - greatest(r.x0, c.ix * (45.0 / 32) - 180))
+                       * greatest(0.0, least(r.y1, (c.iy + 1) * (45.0 / 32) - 90)
+                                  - greatest(r.y0, c.iy * (45.0 / 32) - 90))
+                       - CASE WHEN r.hx0 IS NOT NULL THEN
+                           greatest(0.0, least(r.hx1, (c.ix + 1) * (45.0 / 32) - 180)
+                                    - greatest(r.hx0, c.ix * (45.0 / 32) - 180))
+                           * greatest(0.0, least(r.hy1, (c.iy + 1) * (45.0 / 32) - 90)
+                                      - greatest(r.hy0, c.iy * (45.0 / 32) - 90))
+                         ELSE 0.0 END AS a
+                FROM cells c CROSS JOIN {regions}
+            ),
+            per AS (
+                SELECT ix, iy, value, ord, sum(a) AS a
+                FROM contrib GROUP BY ix, iy, value, ord
+                HAVING sum(a) > 0.0
+            )
+            SELECT CAST(ord AS BIGINT) AS region_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   sum(value * a) AS weighted_sum
+            FROM per GROUP BY ord
         """,
         "doc_repetition_filter": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -139,6 +139,22 @@ def overlay_probes_sql(events: str = "events") -> str:
     )
 
 
+def zonal_raster_cells_sql(events: str = "events") -> str:
+    """Deterministic raster VALUE grid for the zonal-sum gate: res-8
+    cells (w = 45/32°, corners exact dyadics) spanning the fixture
+    world, one row per distinct (ix, iy), value a dyadic multiple of
+    1/16 derived from the cell position itself (so the DISTINCT can't
+    produce conflicting values). Identical SQL in Spark and DuckDB."""
+    return (
+        f"SELECT DISTINCT "
+        f"128 + (event_id * 7) % 29 AS ix, "
+        f"64 + (event_id * 11) % 29 AS iy, "
+        f"CAST(1 + ((128 + (event_id * 7) % 29) * 7"
+        f" + (64 + (event_id * 11) % 29) * 13) % 32 AS DOUBLE) / 16 AS value "
+        f"FROM {events} WHERE event_id % 100 = 0"
+    )
+
+
 def miss_probes_sql(events: str = "events") -> str:
     """Probes strictly OUTSIDE the region world (negative lng) for the
     tolerance/kNN query; 1/64° grid again."""
