@@ -790,6 +790,27 @@ def raster_zonal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_cells").cast("long"), "weighted_sum")
 
 
+def region_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region polyline length (linework.py): length(segment ∩
+    region) for every (probe segment, region) — the 1D zonal overlay
+    (road-length-in-region / linear referencing), beyond the
+    reference's boolean QueryGeometry intersects. Interior tiles
+    reduce to exact rect algebra in JVM codegen; boundary tiles reach
+    one Arrow kernel (segment-vs-piece crossings + midpoint parity).
+    Axis-aligned dyadic probes (constant axis at odd/128°, never
+    collinear with any region edge or gridline) keep every crossing
+    coordinate copied, not computed — lengths are exact dyadics and
+    the DuckDB rect-algebra oracle matches bit-for-bit."""
+    from areacity_query_geometry_spark import linework
+
+    eng = _engine(spark)
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql(fixtures.line_zonal_probes_sql("events"))
+    out = linework.line_length_in_regions(eng, probes)
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("region_id").cast("long"), "length")
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality filter (the Gopher/RefinedWeb
     rule family): per doc, the duplicate-token fraction, the top
@@ -2220,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": raster_vectorize,
         "region_overlay_area": region_overlay_area,
         "raster_zonal_sum": raster_zonal_sum,
+        "region_line_length": region_line_length,
         "doc_repetition_filter": doc_repetition_filter,
         "events_sessionize": events_sessionize,
         "lang_id_ngram": lang_id_ngram,
@@ -3224,6 +3246,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_cells,
                    sum(value * a) AS weighted_sum
             FROM per GROUP BY ord
+        """,
+        "region_line_length": f"""
+            WITH probes AS ({fixtures.line_zonal_probes_sql("events")}),
+            contrib AS (
+                SELECT p.probe_id, r.ord,
+                       CASE WHEN p.y1 = p.y2 THEN
+                         (greatest(0.0, least(r.x1, greatest(p.x1, p.x2))
+                                   - greatest(r.x0, least(p.x1, p.x2)))
+                          * CASE WHEN p.y1 > r.y0 AND p.y1 < r.y1 THEN 1.0 ELSE 0.0 END)
+                         - CASE WHEN r.hx0 IS NOT NULL THEN
+                             (greatest(0.0, least(r.hx1, greatest(p.x1, p.x2))
+                                       - greatest(r.hx0, least(p.x1, p.x2)))
+                              * CASE WHEN p.y1 > r.hy0 AND p.y1 < r.hy1 THEN 1.0 ELSE 0.0 END)
+                           ELSE 0.0 END
+                       ELSE
+                         (greatest(0.0, least(r.y1, greatest(p.y1, p.y2))
+                                   - greatest(r.y0, least(p.y1, p.y2)))
+                          * CASE WHEN p.x1 > r.x0 AND p.x1 < r.x1 THEN 1.0 ELSE 0.0 END)
+                         - CASE WHEN r.hx0 IS NOT NULL THEN
+                             (greatest(0.0, least(r.hy1, greatest(p.y1, p.y2))
+                                       - greatest(r.hy0, least(p.y1, p.y2)))
+                              * CASE WHEN p.x1 > r.hx0 AND p.x1 < r.hx1 THEN 1.0 ELSE 0.0 END)
+                           ELSE 0.0 END
+                       END AS l
+                FROM probes p CROSS JOIN {regions}
+            )
+            SELECT probe_id, CAST(ord AS BIGINT) AS region_id,
+                   sum(l) AS length
+            FROM contrib GROUP BY probe_id, ord
+            HAVING sum(l) > 0.0
         """,
         "doc_repetition_filter": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -155,6 +155,30 @@ def zonal_raster_cells_sql(events: str = "events") -> str:
     )
 
 
+def line_zonal_probes_sql(events: str = "events") -> str:
+    """Deterministic AXIS-ALIGNED probe segments for the per-region
+    line-length join: the varying axis runs between 1/64° dyadics, the
+    constant axis sits at odd multiples of 1/128° — never collinear
+    with a region edge (even/128) or any cell/sub-tile gridline
+    (multiples of 45·2^(3-res), also even/128), so every crossing
+    coordinate is copied exactly and lengths are exact dyadics in both
+    engines. Identical SQL for Spark and DuckDB."""
+    return (
+        f"SELECT event_id AS probe_id, "
+        f"CASE WHEN event_id % 2 = 0 THEN CAST(event_id * 13 % 2432 AS DOUBLE) / 64 "
+        f"     ELSE CAST(2 * (event_id * 29 % 2560) + 1 AS DOUBLE) / 128 END AS x1, "
+        f"CASE WHEN event_id % 2 = 0 THEN CAST(2 * (event_id * 29 % 2560) + 1 AS DOUBLE) / 128 "
+        f"     ELSE CAST(event_id * 13 % 2432 AS DOUBLE) / 64 END AS y1, "
+        f"CASE WHEN event_id % 2 = 0 THEN CAST(event_id * 13 % 2432 AS DOUBLE) / 64"
+        f" + (1.0 + CAST(event_id * 7 % 512 AS DOUBLE)) / 64 "
+        f"     ELSE CAST(2 * (event_id * 29 % 2560) + 1 AS DOUBLE) / 128 END AS x2, "
+        f"CASE WHEN event_id % 2 = 0 THEN CAST(2 * (event_id * 29 % 2560) + 1 AS DOUBLE) / 128 "
+        f"     ELSE CAST(event_id * 13 % 2432 AS DOUBLE) / 64"
+        f" + (1.0 + CAST(event_id * 7 % 512 AS DOUBLE)) / 64 END AS y2 "
+        f"FROM {events} WHERE event_id % 150 = 0"
+    )
+
+
 def miss_probes_sql(events: str = "events") -> str:
     """Probes strictly OUTSIDE the region world (negative lng) for the
     tolerance/kNN query; 1/64° grid again."""
