@@ -231,6 +231,72 @@ def _boundary_length_fn(it):
         })
 
 
+_SEG_SCHEMA = StructType([
+    StructField("probe_id", LongType()),
+    StructField("x1", DoubleType()),
+    StructField("y1", DoubleType()),
+    StructField("x2", DoubleType()),
+    StructField("y2", DoubleType()),
+])
+
+
+def wkt_segments(probes: DataFrame, id_col: str = "probe_id",
+                 wkt_col: str = "wkt") -> DataFrame:
+    """Decompose LINESTRING / MULTILINESTRING WKT (plus line members of
+    a GEOMETRYCOLLECTION; other members are ignored) into per-segment
+    rows (probe_id, x1, y1, x2, y2) — the input shape
+    `line_length_in_regions` takes. Lengths are additive, so keeping
+    the polyline's own probe_id on every segment makes the join return
+    per-POLYLINE lengths with no extra aggregation. Arrow-batched;
+    the parse is per-row (WKT is), everything downstream is columnar."""
+    from .geom import wkt as wkt_codec
+
+    def fn(it):
+        for pdf in it:
+            ids, xs1, ys1, xs2, ys2 = [], [], [], [], []
+            for pid, text in zip(pdf[id_col], pdf[wkt_col]):
+                g = wkt_codec.loads(text)
+                stack = [g]
+                while stack:
+                    cur = stack.pop()
+                    t = cur["type"]
+                    if t == "GeometryCollection":
+                        stack.extend(cur["geoms"])
+                        continue
+                    if t == "LineString":
+                        lines = [cur["xy"]]
+                    elif t == "MultiLineString":
+                        lines = cur["lines"]
+                    else:
+                        continue
+                    for xy in lines:
+                        if len(xy) < 2:
+                            continue
+                        ids.extend([pid] * (len(xy) - 1))
+                        xs1.extend(xy[:-1, 0])
+                        ys1.extend(xy[:-1, 1])
+                        xs2.extend(xy[1:, 0])
+                        ys2.extend(xy[1:, 1])
+            yield pd.DataFrame({
+                "probe_id": pd.Series(ids, dtype="int64"),
+                "x1": pd.Series(xs1, dtype="float64"),
+                "y1": pd.Series(ys1, dtype="float64"),
+                "x2": pd.Series(xs2, dtype="float64"),
+                "y2": pd.Series(ys2, dtype="float64"),
+            })
+
+    return probes.select(id_col, wkt_col).mapInPandas(fn, _SEG_SCHEMA)
+
+
+def line_length_wkt(eng, probes: DataFrame, id_col: str = "probe_id",
+                    wkt_col: str = "wkt",
+                    where: str | None = None) -> DataFrame:
+    """Per-(polyline, region) length straight from WKT probes:
+    `wkt_segments` ∘ `line_length_in_regions`."""
+    return line_length_in_regions(eng, wkt_segments(probes, id_col,
+                                                    wkt_col), where)
+
+
 def line_length_in_regions(eng, probes: DataFrame,
                            where: str | None = None) -> DataFrame:
     """probes: (probe_id long, x1, y1, x2, y2 double) segments (split

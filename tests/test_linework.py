@@ -221,3 +221,84 @@ class TestLineLength:
         assert set(prov[0]) < set(full[0])
         for rid, ln in prov[0].items():
             assert full[0][rid] == ln
+
+
+class TestWktPolylines:
+    def _collect(self, spark, eng, rows):
+        probes = spark.createDataFrame(rows, "probe_id long, wkt string")
+        out = linework.line_length_wkt(eng, probes).collect()
+        got = {}
+        for r in out:
+            got.setdefault(int(r["probe_id"]), {})[int(r["region_id"])] = \
+                float(r["length"])
+        return got
+
+    def test_polyline_equals_manual_segment_sum(self, spark, world_engine):
+        # L-shaped polyline = one horizontal + one vertical segment;
+        # per-polyline result must equal the bit-exact sum of the two
+        wktxt = ("LINESTRING (2 2.015625, 9 2.015625, 9 7.0078125)")
+        got = self._collect(spark, world_engine, [(0, wktxt)])[0]
+        h = brute_line_length(2.0, 2.015625, 9.0, 2.015625)
+        v = brute_line_length(9.0, 2.015625, 9.0, 7.0078125)
+        want = dict(h)
+        for rid, ln in v.items():
+            want[rid] = want.get(rid, 0.0) + ln
+        assert got == {k: v for k, v in want.items() if v > 0}
+
+    def test_multilinestring_and_collection(self, spark, world_engine):
+        m = "MULTILINESTRING ((2 2.015625, 5 2.015625), (6 2.015625, 9 2.015625))"
+        c = ("GEOMETRYCOLLECTION (POINT (1 1), "
+             "LINESTRING (2 2.015625, 5 2.015625), "
+             "LINESTRING (6 2.015625, 9 2.015625))")
+        got = self._collect(spark, world_engine, [(0, m), (1, c)])
+        assert got[0] == got[1]  # the POINT member is ignored
+        a = brute_line_length(2.0, 2.015625, 5.0, 2.015625)
+        b = brute_line_length(6.0, 2.015625, 9.0, 2.015625)
+        want = dict(a)
+        for rid, ln in b.items():
+            want[rid] = want.get(rid, 0.0) + ln
+        assert got[0] == {k: v for k, v in want.items() if v > 0}
+
+
+class TestKernelProperty:
+    def test_random_rectilinear_vs_rect_algebra(self):
+        """Property: for random rect-with-optional-hole pieces and
+        random axis-aligned dyadic segments (never collinear with an
+        edge), the crossing/parity kernel equals rect algebra EXACTLY."""
+        rng = np.random.RandomState(97)
+        for _ in range(200):
+            x0, y0 = rng.randint(0, 64, 2) / 4.0
+            wdt, hgt = (1 + rng.randint(0, 32, 2)) / 4.0
+            shell = _square_segs(x0, y0, x0 + wdt, y0 + hgt)
+            hole = None
+            if rng.rand() < 0.5 and wdt >= 1.0 and hgt >= 1.0:
+                hx0 = x0 + (1 + rng.randint(0, int(wdt * 4) - 2)) / 8.0
+                hy0 = y0 + (1 + rng.randint(0, int(hgt * 4) - 2)) / 8.0
+                hole = (hx0, hy0, hx0 + 0.125, hy0 + 0.125)
+                segs = np.vstack([shell, _square_segs(*hole)])
+            else:
+                segs = shell
+            horiz = rng.rand() < 0.5
+            c = (2 * rng.randint(0, 256) + 1) / 32.0  # odd/32: off edges
+            a = rng.randint(0, 128) / 4.0
+            b = a + (1 + rng.randint(0, 64)) / 4.0
+            if horiz:
+                sx1, sy1, sx2, sy2 = a, c, b, c
+            else:
+                sx1, sy1, sx2, sy2 = c, a, c, b
+            out = linework.seg_lengths_in_piece(
+                np.array([sx1]), np.array([sy1]),
+                np.array([sx2]), np.array([sy2]), segs)
+
+            def box_len(bx0, by0, bx1, by1):
+                if horiz:
+                    return (max(0.0, min(bx1, sx2) - max(bx0, sx1))
+                            if by0 < c < by1 else 0.0)
+                return (max(0.0, min(by1, sy2) - max(by0, sy1))
+                        if bx0 < c < bx1 else 0.0)
+
+            want = box_len(x0, y0, x0 + wdt, y0 + hgt)
+            if hole is not None:
+                want -= box_len(*hole)
+            assert out[0] == want, \
+                (x0, y0, wdt, hgt, hole, sx1, sy1, sx2, sy2)
