@@ -4,12 +4,11 @@ region / linear referencing), beyond the reference's boolean
 QueryGeometry intersects (/root/reference/AreaCityQuery.java:179-309).
 
 Distributed shape (mirrors overlay.py, the 2D face):
-- Each probe segment covers the base-res cells of its bounding box in
-  pure codegen SQL (`sequence`/`explode`) and equi-joins the tile
-  table on cell_id — never a cross join. Axis-aligned segments cover
-  exactly their own cell run; long diagonals over-cover by the bbox
-  (a DDA cover is the documented upgrade if diagonal-heavy workloads
-  appear — the join shape is unchanged).
+- Each probe segment SUPERCOVERS its base-res cells in pure codegen
+  SQL (`sequence`/`explode` per x-column, then only the y-rows the
+  segment passes through in that column) and equi-joins the tile
+  table on cell_id — never a cross join, and O(cells crossed) rather
+  than O(bbox) for long diagonals.
 - Interior tiles (kind 1/2) reduce WITHOUT leaving the JVM:
   axis-aligned segments via exact rect algebra (overlap on the
   varying axis × a half-open band test on the constant axis), general
@@ -310,15 +309,41 @@ def line_length_in_regions(eng, probes: DataFrame,
     pack = (f"(CAST({res} AS BIGINT) * {1 << grid._RES_SHIFT}L"
             f" + ix * {1 << grid._IX_SHIFT}L + iy)")
 
+    # column-wise SUPERCOVER, all codegen: explode the x columns the
+    # segment's x-span touches, then per column explode only the y rows
+    # the segment actually passes through in that column (evaluate the
+    # line at the column's clamped x-range ends). O(cells crossed), not
+    # O(bbox) — a 40°-long diagonal covers ~2·span/w cells instead of
+    # (span/w)². Axis-aligned segments stay EXACT (horizontal: the y
+    # evaluation multiplies by dy = 0; vertical: the x1 = x2 branch
+    # copies the y-span), so gate coverage is identical to the bbox
+    # cover; diagonal column crossings are fp-evaluated, and a
+    # hypothetically misrounded row boundary can only drop a sliver
+    # whose in-cell length is O(ulp) — far inside the diagonal paths'
+    # stated 1e-9 tolerance.
     cov = probes.selectExpr(
         "probe_id", "x1", "y1", "x2", "y2",
         f"least(greatest(CAST(floor((least(x1, x2) + 180.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS ix0",
         f"least(greatest(CAST(floor((greatest(x1, x2) + 180.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS ix1",
-        f"least(greatest(CAST(floor((least(y1, y2) + 90.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS iy0",
-        f"least(greatest(CAST(floor((greatest(y1, y2) + 90.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS iy1",
     )
     cand = (cov
             .withColumn("ix", F.explode(F.sequence("ix0", "ix1")))
+            .selectExpr(
+                "probe_id", "x1", "y1", "x2", "y2", "ix",
+                f"greatest(ix * {w!r} - 180.0D, least(x1, x2)) AS cx0",
+                f"least((ix + 1L) * {w!r} - 180.0D, greatest(x1, x2)) AS cx1")
+            .selectExpr(
+                "probe_id", "x1", "y1", "x2", "y2", "ix",
+                "CASE WHEN x1 = x2 THEN least(y1, y2)"
+                " ELSE least(y1 + (cx0 - x1) * (y2 - y1) / (x2 - x1),"
+                "            y1 + (cx1 - x1) * (y2 - y1) / (x2 - x1)) END AS ylo",
+                "CASE WHEN x1 = x2 THEN greatest(y1, y2)"
+                " ELSE greatest(y1 + (cx0 - x1) * (y2 - y1) / (x2 - x1),"
+                "               y1 + (cx1 - x1) * (y2 - y1) / (x2 - x1)) END AS yhi")
+            .selectExpr(
+                "probe_id", "x1", "y1", "x2", "y2", "ix",
+                f"least(greatest(CAST(floor((ylo + 90.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS iy0",
+                f"least(greatest(CAST(floor((yhi + 90.0) / {w!r}) AS BIGINT), 0L), {ncells - 1}L) AS iy1")
             .withColumn("iy", F.explode(F.sequence("iy0", "iy1")))
             .selectExpr("probe_id", "x1", "y1", "x2", "y2",
                         f"{pack} AS cell_id"))
