@@ -765,6 +765,36 @@ def region_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("region_id").cast("long"), "area")
 
 
+def region_poly_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectilinear POLYGON-probe overlay areas (overlay.py::
+    overlay_poly_area): L-shaped staircase probes arrive as WKT, are
+    scanline-decomposed into disjoint rects (coordinates copied, never
+    computed — exact), and ride the verified rect overlay join; the
+    per-probe sum reassembles the polygon's area because the rects
+    partition it. The DuckDB oracle computes the same areas from the
+    L-shape's two defining rects directly — bit-for-bit equality."""
+    from areacity_query_geometry_spark import overlay
+
+    eng = _engine(spark)
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql(f"""
+        WITH params AS ({fixtures.poly_probe_params_sql("events")})
+        SELECT probe_id, concat(
+            'POLYGON ((',
+            a, ' ', b, ', ',
+            a + u, ' ', b, ', ',
+            a + u, ' ', b + v, ', ',
+            a + p, ' ', b + v, ', ',
+            a + p, ' ', b + v + q, ', ',
+            a, ' ', b + v + q, ', ',
+            a, ' ', b, '))') AS wkt
+        FROM params
+    """)
+    out = overlay.overlay_poly_area(eng, probes)
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("region_id").cast("long"), "area")
+
+
 def raster_zonal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Area-weighted zonal statistics (overlay.py::zonal_raster_sum) —
     the third face of raster↔vector next to raster_coverage
@@ -2241,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": raster_vectorize,
         "region_overlay_area": region_overlay_area,
         "raster_zonal_sum": raster_zonal_sum,
+        "region_poly_overlay": region_poly_overlay,
         "region_line_length": region_line_length,
         "doc_repetition_filter": doc_repetition_filter,
         "events_sessionize": events_sessionize,
@@ -3215,6 +3246,28 @@ def oracle_sql() -> dict[str, str]:
                            * greatest(0.0, least(r.hy1, p.y1) - greatest(r.hy0, p.y0))
                          ELSE 0.0 END AS a
                 FROM probes p CROSS JOIN {regions}
+            )
+            SELECT probe_id, CAST(ord AS BIGINT) AS region_id,
+                   sum(a) AS area
+            FROM contrib GROUP BY probe_id, ord
+            HAVING sum(a) > 0.0
+        """,
+        "region_poly_overlay": f"""
+            WITH params AS ({fixtures.poly_probe_params_sql("events")}),
+            rects AS (
+                SELECT probe_id, a AS x0, b AS y0, a + u AS x1, b + v AS y1 FROM params
+                UNION ALL
+                SELECT probe_id, a, b + v, a + p, b + v + q FROM params
+            ),
+            contrib AS (
+                SELECT c.probe_id, r.ord,
+                       greatest(0.0, least(r.x1, c.x1) - greatest(r.x0, c.x0))
+                       * greatest(0.0, least(r.y1, c.y1) - greatest(r.y0, c.y0))
+                       - CASE WHEN r.hx0 IS NOT NULL THEN
+                           greatest(0.0, least(r.hx1, c.x1) - greatest(r.hx0, c.x0))
+                           * greatest(0.0, least(r.hy1, c.y1) - greatest(r.hy0, c.y0))
+                         ELSE 0.0 END AS a
+                FROM rects c CROSS JOIN {regions}
             )
             SELECT probe_id, CAST(ord AS BIGINT) AS region_id,
                    sum(a) AS area

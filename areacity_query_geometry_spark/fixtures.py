@@ -179,6 +179,25 @@ def line_zonal_probes_sql(events: str = "events") -> str:
     )
 
 
+def poly_probe_params_sql(events: str = "events") -> str:
+    """Deterministic dyadic L-SHAPE parameters for the rectilinear
+    polygon overlay gate: each probe is rect A = [a, a+u]×[b, b+v]
+    plus rect B = [a, a+p]×[b+v, b+v+q] with p = u/2 (a staircase
+    hexagon). All values dyadic; identical SQL in Spark and DuckDB —
+    the oracle consumes the two rects, the Spark gate builds the ring
+    WKT from the same six numbers."""
+    return (
+        f"SELECT event_id AS probe_id, "
+        f"CAST(event_id * 19 % 2048 AS DOUBLE) / 64 AS a, "
+        f"CAST(event_id * 23 % 2048 AS DOUBLE) / 64 AS b, "
+        f"(2.0 + CAST(event_id * 5 % 94 AS DOUBLE)) / 8 AS u, "
+        f"(1.0 + CAST(event_id * 11 % 96 AS DOUBLE)) / 8 AS v, "
+        f"(2.0 + CAST(event_id * 5 % 94 AS DOUBLE)) / 16 AS p, "
+        f"(1.0 + CAST(event_id * 17 % 96 AS DOUBLE)) / 8 AS q "
+        f"FROM {events} WHERE event_id % 250 = 0"
+    )
+
+
 def miss_probes_sql(events: str = "events") -> str:
     """Probes strictly OUTSIDE the region world (negative lng) for the
     tolerance/kNN query; 1/64° grid again."""

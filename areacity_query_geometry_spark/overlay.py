@@ -300,6 +300,106 @@ def overlay_rect_area(eng, probes: DataFrame,
             .filter(F.col("area") > 0.0))
 
 
+def rect_decompose(rings: list) -> np.ndarray:
+    """Scanline decomposition of a RECTILINEAR polygon (axis-parallel
+    edges only; holes as extra rings, even-odd) into disjoint rects
+    (k, 4) [x0, y0, x1, y1]. Every output coordinate is COPIED from a
+    vertex — never computed — so the decomposition is exact and
+    area-preserving bit-for-bit: per y-band between consecutive
+    distinct vertex y's, the inside x-intervals come from parity
+    counting of the vertical edges crossing the band. Raises on
+    non-rectilinear input (a diagonal edge)."""
+    vx_lo, vx_hi = [], []
+    vys: list[float] = []
+    vedges = []  # (x, ylo, yhi)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 4:
+            continue
+        x1, y1 = r[:-1, 0], r[:-1, 1]
+        x2, y2 = r[1:, 0], r[1:, 1]
+        diag = (x1 != x2) & (y1 != y2)
+        if diag.any():
+            raise ValueError("rect_decompose requires rectilinear rings")
+        vert = x1 == x2
+        for xe, ya, yb in zip(x1[vert], y1[vert], y2[vert]):
+            if ya != yb:
+                vedges.append((xe, min(ya, yb), max(ya, yb)))
+        vys.extend(r[:, 1])
+    if not vedges:
+        return np.zeros((0, 4))
+    ys = np.unique(np.asarray(vys))
+    ex = np.array([e[0] for e in vedges])
+    elo = np.array([e[1] for e in vedges])
+    ehi = np.array([e[2] for e in vedges])
+    out = []
+    for ylo, yhi in zip(ys[:-1], ys[1:]):
+        # a vertical edge crosses this band iff it spans it entirely
+        # (rectilinear edges begin/end on vertex y's, so partial
+        # overlap is impossible)
+        m = (elo <= ylo) & (ehi >= yhi)
+        xs = np.sort(ex[m])
+        if len(xs) % 2:
+            raise ValueError("non-closed rectilinear ring set")
+        for xa, xb in xs.reshape(-1, 2):
+            if xb > xa:
+                out.append((xa, ylo, xb, yhi))
+    return np.asarray(out, dtype=np.float64) if out else np.zeros((0, 4))
+
+
+_RECT_SCHEMA = StructType([
+    StructField("probe_id", LongType()),
+    StructField("x0", DoubleType()),
+    StructField("y0", DoubleType()),
+    StructField("x1", DoubleType()),
+    StructField("y1", DoubleType()),
+])
+
+
+def poly_rect_probes(probes: DataFrame, id_col: str = "probe_id",
+                     wkt_col: str = "wkt") -> DataFrame:
+    """Decompose rectilinear POLYGON / MULTIPOLYGON WKT probes into the
+    disjoint rect rows `overlay_rect_area` takes (each keeps its
+    polygon's probe_id — the final per-probe sum reassembles areas
+    exactly because the rects partition the polygon)."""
+    from .geom import wkt as wkt_codec
+
+    def fn(it):
+        for pdf in it:
+            ids, xs0, ys0, xs1, ys1 = [], [], [], [], []
+            for pid, text in zip(pdf[id_col], pdf[wkt_col]):
+                g = wkt_codec.loads(text)
+                for rings in core.polygons_of(g):
+                    for (xa, ya, xb, yb) in rect_decompose(rings):
+                        ids.append(pid)
+                        xs0.append(xa)
+                        ys0.append(ya)
+                        xs1.append(xb)
+                        ys1.append(yb)
+            yield pd.DataFrame({
+                "probe_id": pd.Series(ids, dtype="int64"),
+                "x0": pd.Series(xs0, dtype="float64"),
+                "y0": pd.Series(ys0, dtype="float64"),
+                "x1": pd.Series(xs1, dtype="float64"),
+                "y1": pd.Series(ys1, dtype="float64"),
+            })
+
+    return probes.select(id_col, wkt_col).mapInPandas(fn, _RECT_SCHEMA)
+
+
+def overlay_poly_area(eng, probes: DataFrame, id_col: str = "probe_id",
+                      wkt_col: str = "wkt", where: str | None = None,
+                      max_cells_per_side: int | None = None) -> DataFrame:
+    """Per-(rectilinear polygon probe, region) EXACT intersection area:
+    scanline rect decomposition (exact, coordinates copied) ∘ the
+    verified rect overlay join. Holes in the probe are handled by the
+    decomposition itself (parity bands skip them). General curved
+    probes are out of scope by contract — the decomposition raises on
+    a diagonal edge rather than approximating silently."""
+    rects = poly_rect_probes(probes, id_col, wkt_col)
+    return overlay_rect_area(eng, rects, where, max_cells_per_side)
+
+
 def zonal_raster_sum(eng, raster: DataFrame,
                      where: str | None = None,
                      max_cells_per_side: int | None = None) -> DataFrame:

@@ -215,6 +215,89 @@ class TestDecomposition:
                                       max_cells_per_side=0)
 
 
+class TestRectDecompose:
+    """Scanline decomposition of rectilinear polygons: exact, disjoint,
+    area-preserving."""
+
+    @staticmethod
+    def _area(rects):
+        return sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rects)
+
+    @staticmethod
+    def _disjoint(rects):
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                if min(a[2], b[2]) > max(a[0], b[0]) and \
+                        min(a[3], b[3]) > max(a[1], b[1]):
+                    return False
+        return True
+
+    def test_l_shape(self):
+        ring = np.array([(0, 0), (4, 0), (4, 2), (2, 2), (2, 5),
+                         (0, 5), (0, 0)], dtype=np.float64)
+        rects = overlay.rect_decompose([ring])
+        assert self._area(rects) == 4 * 2 + 2 * 3
+        assert self._disjoint(rects)
+
+    def test_donut(self):
+        shell = np.array([(0, 0), (6, 0), (6, 6), (0, 6), (0, 0)],
+                         dtype=np.float64)
+        hole = np.array([(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)],
+                        dtype=np.float64)
+        rects = overlay.rect_decompose([shell, hole])
+        assert self._area(rects) == 36 - 4
+        assert self._disjoint(rects)
+
+    def test_plain_rect_with_collinear_vertex(self):
+        ring = np.array([(0, 0), (2, 0), (5, 0), (5, 3), (0, 3), (0, 0)],
+                        dtype=np.float64)
+        rects = overlay.rect_decompose([ring])
+        assert self._area(rects) == 15.0
+
+    def test_rejects_diagonal(self):
+        ring = np.array([(0, 0), (4, 0), (2, 3), (0, 0)],
+                        dtype=np.float64)
+        with pytest.raises(ValueError, match="rectilinear"):
+            overlay.rect_decompose([ring])
+
+
+class TestPolyOverlay:
+    def _run(self, spark, eng, rows, **kw):
+        probes = spark.createDataFrame(rows, "probe_id long, wkt string")
+        out = overlay.overlay_poly_area(eng, probes, **kw).collect()
+        got = {}
+        for r in out:
+            got.setdefault(int(r["probe_id"]), {})[int(r["region_id"])] = \
+                float(r["area"])
+        return got
+
+    def test_l_shape_equals_rect_sum(self, spark, world_engine):
+        # L-shape = rect A ∪ rect B (disjoint): per-region area must be
+        # the bit-exact sum of the two rect overlays
+        wktxt = ("POLYGON ((1.5 1.5, 6.0 1.5, 6.0 3.25, 3.0 3.25, "
+                 "3.0 8.0, 1.5 8.0, 1.5 1.5))")
+        got = self._run(spark, world_engine, [(0, wktxt)])[0]
+        a = brute_overlay(1.5, 1.5, 6.0, 3.25)
+        b = brute_overlay(1.5, 3.25, 3.0, 8.0)
+        want = dict(a)
+        for rid, ar in b.items():
+            want[rid] = want.get(rid, 0.0) + ar
+        assert got == {k: v for k, v in want.items() if v > 0}
+
+    def test_donut_probe_excludes_hole(self, spark, world_engine):
+        # probe with a hole over the fixture: area contribution of the
+        # hole region must vanish
+        solid = "POLYGON ((1.0 1.0, 5.0 1.0, 5.0 5.0, 1.0 5.0, 1.0 1.0))"
+        donut = ("POLYGON ((1.0 1.0, 5.0 1.0, 5.0 5.0, 1.0 5.0, 1.0 1.0), "
+                 "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))")
+        hole = "POLYGON ((2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))"
+        gs = self._run(spark, world_engine,
+                       [(0, solid), (1, donut), (2, hole)])
+        for rid, ar in gs[0].items():
+            assert ar == gs[1].get(rid, 0.0) + gs[2].get(rid, 0.0), rid
+
+
 class TestZonalRasterSum:
     """zonal_raster_sum = value-weighted overlay over cell-rect
     windows derived from packed ids (bit-exact vs rect-algebra brute
