@@ -396,7 +396,13 @@ def overlay_poly_area(eng, probes: DataFrame, id_col: str = "probe_id",
     decomposition itself (parity bands skip them). General curved
     probes are out of scope by contract — the decomposition raises on
     a diagonal edge rather than approximating silently."""
-    rects = poly_rect_probes(probes, id_col, wkt_col)
+    # materialize the decomposition ONCE: overlay_rect_area consumes
+    # its probes in both the interior and boundary branches, and
+    # without a barrier Spark would re-run the WKT parse + scanline
+    # per branch. localCheckpoint (ContextCleaner-reclaimed) keeps the
+    # shared session cache-free — the same pattern knn.py uses.
+    rects = poly_rect_probes(probes, id_col, wkt_col) \
+        .localCheckpoint(eager=True)
     return overlay_rect_area(eng, rects, where, max_cells_per_side)
 
 
