@@ -41,6 +41,41 @@ from . import GRID_VERSION, grid, tiler
 from .geom import core, distance, predicates, wkb, wkt as wkt_codec
 from .sources import geojson_source
 
+def _distance_segs(g: dict, minx: float, miny: float,
+                   maxx: float, maxy: float) -> np.ndarray:
+    """Segments of a boundary-tile piece fit for NEAREST-DISTANCE use.
+
+    The stored WKB is the region clipped to the CLIP_EPS-expanded tile
+    rect (tiler.clip_geom_to_cell), so its rings also run ALONG the
+    expanded window: closure edges, plus Sutherland–Hodgman bridge
+    runs that connect disconnected clip pieces and can lie OUTSIDE the
+    region (measured on the reference province file: a coastal cell
+    with islands put a bridge corner 785 m from an offshore probe
+    whose true boundary distance is 1459.86 m). Zero width keeps
+    containment parity and overlay areas exact, but a nearest-segment
+    distance must never see them.
+
+    Window coordinates were ASSIGNED at clip time (minx − CLIP_EPS
+    etc. computed from the same column values stored on the tile row),
+    so exact float equality identifies every window run. A true
+    boundary segment cannot sit on the expanded window line (its
+    source vertex would need to be exactly CLIP_EPS off a gridline),
+    and even then the segment would survive in the neighbouring cell's
+    tile, whose window lines differ — the per-region minimum across
+    candidate tiles is unaffected."""
+    segs = predicates.segments_of_rings(core.all_rings(g))
+    if not len(segs):
+        return segs
+    wx0 = minx - tiler.CLIP_EPS
+    wy0 = miny - tiler.CLIP_EPS
+    wx1 = maxx + tiler.CLIP_EPS
+    wy1 = maxy + tiler.CLIP_EPS
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    on_win = (((x1 == x2) & ((x1 == wx0) | (x1 == wx1)))
+              | ((y1 == y2) & ((y1 == wy0) | (y1 == wy1))))
+    return segs[~on_win]
+
+
 def _refine_csr(ents: list, starts: np.ndarray, ends: np.ndarray,
                 px0: np.ndarray, py0: np.ndarray) -> np.ndarray:
     """Many-tiny-tiles refine: decompose this batch's (point, tile)
@@ -1133,7 +1168,8 @@ class SpatialEngine:
             cover = misses.mapInPandas(cover_fn, cover_schema)
             cand = cover.join(
                 self._tiles_for(where).filter(F.col("kind") == 0), "cell_id"
-            ).select("point_id", "lng", "lat", "region_id", "tile_wkb")
+            ).select("point_id", "lng", "lat", "region_id",
+                     "minx", "miny", "maxx", "maxy", "tile_wkb")
         else:  # tolerance -1: unlimited — every boundary tile is a candidate
             # (the reference documents -1 as "traverses all data,
             # performance extremely low", AreaCityQuery.java:100.)
@@ -1162,9 +1198,13 @@ class SpatialEngine:
             cos_pi24 = np.cos(np.pi / 24)
             for pdf in it:
                 pids, rids, ds = [], [], []
-                for (rid, twkb), grp in pdf.groupby(["region_id", "tile_wkb"], sort=False):
+                for (rid, mnx, mny, mxx, mxy, twkb), grp in pdf.groupby(
+                        ["region_id", "minx", "miny", "maxx", "maxy",
+                         "tile_wkb"], sort=False):
                     g = wkb.loads(bytes(twkb))
-                    segs = predicates.segments_of_rings(core.all_rings(g))
+                    segs = _distance_segs(g, mnx, mny, mxx, mxy)
+                    if not len(segs):
+                        continue
                     px = grp["lng"].to_numpy()
                     py = grp["lat"].to_numpy()
                     nx, ny, d_planar = predicates.nearest_on_segments(px, py, segs)
@@ -1184,8 +1224,22 @@ class SpatialEngine:
                         impossible = d_planar > rmax
                         keep = definite.copy()
                         for i in np.nonzero(~definite & ~impossible)[0]:
+                            # 24-gon vs the FILTERED piece boundary: the
+                            # probe is outside every candidate region
+                            # (it missed Q1 under the same `where`), so
+                            # circle ∩ region ≠ ∅ ⟺ the circle touches
+                            # true boundary — and g's window/bridge runs
+                            # must not vote (same artifact as the
+                            # distance itself, see _distance_segs)
                             circ = distance.simple_circle(px[i], py[i], tol, 24)
-                            keep[i] = predicates.geoms_intersect(g, circ)
+                            csegs = predicates.segments_of_rings(
+                                core.all_rings(circ))
+                            keep[i] = bool(
+                                predicates.segs_intersect_segs_any(
+                                    segs[:, 0], segs[:, 1],
+                                    segs[:, 2], segs[:, 3], csegs).any()
+                                or predicates.points_parity(
+                                    segs[:, 0], segs[:, 1], csegs).any())
                     if keep.any():
                         d = distance.haversine(nx[keep], ny[keep], px[keep], py[keep])
                         pids.append(grp["point_id"].to_numpy()[keep])
@@ -1368,7 +1422,8 @@ class SpatialEngine:
                     .filter(F.expr(
                         "(shiftright(mask, cast(deep AS INT)) & 1) = 1"))
                     .select("point_id", "lng", "lat", "cell_id", "region_id",
-                            "deep", "minx", "miny", "tile_wkb"))
+                            "deep", "minx", "miny", "maxx", "maxy",
+                            "tile_wkb"))
             obs = Observation()
             per_pr = (self._cand_dists(cand)
                       .observe(obs, F.count(F.lit(1)).alias("n"))
@@ -1438,7 +1493,7 @@ class SpatialEngine:
         deeps_needed = active.select("deep").distinct()
         tls = (tiles_b.join(F.broadcast(deeps_needed), "deep", "left_semi")
                .select("deep", "cell_id", "region_id", "minx", "miny",
-                       "tile_wkb")
+                       "maxx", "maxy", "tile_wkb")
                .crossJoin(self.spark.range(B)
                           .select(F.col("id").cast("int").alias("b"))))
         schema = StructType([
@@ -1470,7 +1525,8 @@ class SpatialEngine:
                 if not len(sel):
                     continue
                 g = wkb.loads(bytes(row.tile_wkb))
-                segs = predicates.segments_of_rings(core.all_rings(g))
+                segs = _distance_segs(g, row.minx, row.miny,
+                                      row.maxx, row.maxy)
                 if not len(segs):
                     continue
                 rid = int(row.region_id)
@@ -1555,8 +1611,12 @@ class SpatialEngine:
                     continue
                 cid = pdf["cell_id"].to_numpy()
                 rid = pdf["region_id"].to_numpy()
-                xb = pdf["minx"].to_numpy(dtype=np.float64).view(np.int64)
-                yb = pdf["miny"].to_numpy(dtype=np.float64).view(np.int64)
+                mnxf = pdf["minx"].to_numpy(dtype=np.float64)
+                mnyf = pdf["miny"].to_numpy(dtype=np.float64)
+                mxxf = pdf["maxx"].to_numpy(dtype=np.float64)
+                mxyf = pdf["maxy"].to_numpy(dtype=np.float64)
+                xb = mnxf.view(np.int64)
+                yb = mnyf.view(np.int64)
                 order = np.lexsort((yb, xb, rid, cid))
                 cs, rs, xs, ys = cid[order], rid[order], xb[order], yb[order]
                 new_grp = np.empty(n, dtype=bool)
@@ -1574,12 +1634,17 @@ class SpatialEngine:
                 ny = np.empty(n)
                 d = np.empty(n)
                 valid = np.ones(n, dtype=bool)
+                mnx_o = mnxf[order]
+                mny_o = mnyf[order]
+                mxx_o = mxxf[order]
+                mxy_o = mxyf[order]
                 for s0, s1 in zip(starts, ends):
                     key = (cs[s0], rs[s0], xs[s0], ys[s0])
                     segs = registry.get(key)
                     if segs is None:
                         g = wkb.loads(bytes(wkb_col[s0]))
-                        segs = predicates.segments_of_rings(core.all_rings(g))
+                        segs = _distance_segs(g, mnx_o[s0], mny_o[s0],
+                                              mxx_o[s0], mxy_o[s0])
                         registry[key] = segs
                     if not len(segs):
                         valid[s0:s1] = False
@@ -1820,7 +1885,14 @@ class SpatialEngine:
 
             def _tile_groups(pdf, idx, tmnx, tmny):
                 """Group candidate rows per tile: lexsorted index, group
-                boundaries, and decoded tile segments per group."""
+                boundaries, and decoded tile segments per group.
+                segs_at(s0) returns the RAW ring segments (closed —
+                required for parity/containment); xsegs_at(s0) the
+                window-run-FILTERED set (required for crossing/touch
+                tests, where a Sutherland–Hodgman closure or bridge run
+                along the expanded clip window — which can lie OUTSIDE
+                the region — must not witness an intersection; see
+                _distance_segs)."""
                 cid = pdf["cell_id"].to_numpy()[idx]
                 rid = pdf["region_id"].to_numpy()[idx]
                 xb = tmnx[idx].view(np.int64)
@@ -1834,17 +1906,41 @@ class SpatialEngine:
                 starts = np.nonzero(new_grp)[0]
                 ends = np.append(starts[1:], len(idx))
                 wkb_col = pdf["tile_wkb"].to_numpy()[idx][order]
+                mnx_o = tmnx[idx][order]
+                mny_o = tmny[idx][order]
+                mxx_o = tmxx[idx][order]
+                mxy_o = tmxy[idx][order]
+
+                def _ent(s0):
+                    key = (cs[s0], rs[s0], xs[s0], ys[s0])
+                    ent = registry.get(key)
+                    if ent is None:
+                        g = wkb.loads(bytes(wkb_col[s0]))
+                        raw = predicates.segments_of_rings(core.all_rings(g))
+                        e = tiler.CLIP_EPS
+                        if len(raw):
+                            wx0 = mnx_o[s0] - e
+                            wy0 = mny_o[s0] - e
+                            wx1 = mxx_o[s0] + e
+                            wy1 = mxy_o[s0] + e
+                            x1, y1 = raw[:, 0], raw[:, 1]
+                            x2, y2 = raw[:, 2], raw[:, 3]
+                            on_win = (((x1 == x2) & ((x1 == wx0) | (x1 == wx1)))
+                                      | ((y1 == y2) & ((y1 == wy0) | (y1 == wy1))))
+                            flt = raw[~on_win]
+                        else:
+                            flt = raw
+                        ent = (raw, flt)
+                        registry[key] = ent
+                    return ent
 
                 def segs_at(s0):
-                    key = (cs[s0], rs[s0], xs[s0], ys[s0])
-                    segs = registry.get(key)
-                    if segs is None:
-                        g = wkb.loads(bytes(wkb_col[s0]))
-                        segs = predicates.segments_of_rings(core.all_rings(g))
-                        registry[key] = segs
-                    return segs
+                    return _ent(s0)[0]
 
-                return order, starts, ends, segs_at
+                def xsegs_at(s0):
+                    return _ent(s0)[1]
+
+                return order, starts, ends, segs_at, xsegs_at
 
             for pdf in it:
                 n = len(pdf)
@@ -1886,16 +1982,17 @@ class SpatialEngine:
                 # (b) rect corner inside the tile polygon (rect ⊂ tile)
                 m_rb = np.nonzero((pkind == 1) & (kind == 0))[0]
                 if len(m_rb):
-                    order, starts, ends, segs_at = _tile_groups(pdf, m_rb, tmnx, tmny)
+                    order, starts, ends, segs_at, xsegs_at = \
+                        _tile_groups(pdf, m_rb, tmnx, tmny)
                     a0, a1 = p0[m_rb][order], p1[m_rb][order]
                     a2, a3 = p2[m_rb][order], p3[m_rb][order]
                     hit0 = np.zeros(len(m_rb), dtype=bool)
                     for s0, s1 in zip(starts, ends):
-                        segs = segs_at(s0)
                         touch = predicates.segments_in_cells(
-                            segs, a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1])
+                            xsegs_at(s0),
+                            a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1])
                         inside = predicates.points_intersect_prepared(
-                            a0[s0:s1], a1[s0:s1], segs)
+                            a0[s0:s1], a1[s0:s1], segs_at(s0))
                         hit0[s0:s1] = touch | inside
                     back = np.empty(len(m_rb), dtype=np.int64)
                     back[order] = np.arange(len(m_rb))
@@ -1906,16 +2003,17 @@ class SpatialEngine:
                 # (b) probe endpoint inside the tile polygon (seg ⊂ tile)
                 m_sb = np.nonzero((pkind == 2) & (kind == 0))[0]
                 if len(m_sb):
-                    order, starts, ends, segs_at = _tile_groups(pdf, m_sb, tmnx, tmny)
+                    order, starts, ends, segs_at, xsegs_at = \
+                        _tile_groups(pdf, m_sb, tmnx, tmny)
                     a0, a1 = p0[m_sb][order], p1[m_sb][order]
                     a2, a3 = p2[m_sb][order], p3[m_sb][order]
                     hit0 = np.zeros(len(m_sb), dtype=bool)
                     for s0, s1 in zip(starts, ends):
-                        segs = segs_at(s0)
                         cross = predicates.segs_intersect_segs_any(
-                            a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1], segs)
+                            a0[s0:s1], a1[s0:s1], a2[s0:s1], a3[s0:s1],
+                            xsegs_at(s0))
                         inside = predicates.points_intersect_prepared(
-                            a0[s0:s1], a1[s0:s1], segs)
+                            a0[s0:s1], a1[s0:s1], segs_at(s0))
                         hit0[s0:s1] = cross | inside
                     back = np.empty(len(m_sb), dtype=np.int64)
                     back[order] = np.arange(len(m_sb))
@@ -1940,10 +2038,16 @@ class SpatialEngine:
                     # and dominated large-probe gates
                     sub = np.nonzero(kind[m_c] == 0)[0]
                     if len(sub):
-                        order_b, starts_b, ends_b, segs_at_b = _tile_groups(
-                            pdf, m_c[sub], tmnx, tmny)
+                        order_b, starts_b, ends_b, segs_at_b, xsegs_at_b = \
+                            _tile_groups(pdf, m_c[sub], tmnx, tmny)
                         for s0, s1 in zip(starts_b, ends_b):
-                            segs = segs_at_b(s0)
+                            # representative point: prefer a TRUE
+                            # boundary vertex (window runs can sit eps
+                            # outside the region); fall back to the raw
+                            # ring when the piece is window-only
+                            segs = xsegs_at_b(s0)
+                            if len(segs) == 0:
+                                segs = segs_at_b(s0)
                             sl = sub[order_b[s0:s1]]
                             if len(segs) == 0:
                                 ok_t[sl] = False

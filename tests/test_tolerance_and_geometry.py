@@ -21,9 +21,110 @@ class TestTolerance:
         assert len(rows) == 1
         r = rows[0]
         assert r.name == "浙江省"
-        assert r.point_distance is not None and 0 < r.point_distance <= 2600
+        # the TRUE nearest-boundary distance on this simplified file is
+        # ~1459.9 m (planar argmin over the source rings, haversine at
+        # the winner); the engine's min-of-per-tile-haversines may sit a
+        # few metres under that but NOT at a tile clip artifact: before
+        # the _distance_segs fix, Sutherland–Hodgman bridge runs along
+        # the expanded cell window (OUTSIDE the region) reported 785 m
+        # at base_res 13 and 126 m at base_res 9 — resolution-dependent
+        # and geometrically impossible. Pin the honest band.
+        assert r.point_distance is not None
+        assert 1450.0 < r.point_distance < 1465.0
         assert '"PointDistance":' in r.prop_json_out
         assert f'"PointDistanceID": {r.region_id}' in r.prop_json_out
+
+    def test_distance_segs_drops_clip_bridges(self):
+        """Kernel regression for the offshore-distance bug: clipping a
+        DISCONNECTED region (two islands) to one cell makes
+        Sutherland–Hodgman emit bridge runs along the expanded window
+        that lie outside the region; _distance_segs must drop every
+        window-collinear run so nearest-distance sees only true
+        boundary segments."""
+        import numpy as np
+
+        from areacity_query_geometry_spark import tiler
+        from areacity_query_geometry_spark.engine import _distance_segs
+        from areacity_query_geometry_spark.geom import predicates, wkb
+
+        # ONE ring with two prongs dipping into the cell [0,8]² from
+        # above (the connector runs at y=9, outside the window) — the
+        # clip is disconnected, so S–H bridges the prongs along the
+        # window's top line
+        ring = np.array([(1.0, 10.0), (1.0, 4.0), (2.0, 4.0), (2.0, 9.0),
+                         (5.0, 9.0), (5.0, 4.0), (6.0, 4.0), (6.0, 10.0),
+                         (1.0, 10.0)])
+        minx, miny, maxx, maxy = 0.0, 0.0, 8.0, 8.0
+        e = tiler.CLIP_EPS
+        c = predicates.clip_ring_to_rect(
+            ring, minx - e, miny - e, maxx + e, maxy + e)
+        piece = wkb.loads(wkb.dumps({"type": "Polygon", "rings": [c]}))
+        raw = predicates.segments_of_rings([c])
+        top = (raw[:, 1] == maxy + e) & (raw[:, 3] == maxy + e)
+        # the artifact exists: runs along the expanded window top,
+        # including the bridge across the gap x∈(2,5) which is NOT in
+        # the region
+        assert top.any()
+        nx0, ny0, d0 = predicates.nearest_on_segments(
+            np.array([3.5]), np.array([9.5]), raw)
+        assert d0[0] < 1.51  # the bridge, geometrically impossible
+
+        segs = _distance_segs(piece, minx, miny, maxx, maxy)
+        assert len(segs)
+        x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        assert not (((x1 == x2) & ((x1 == minx - e) | (x1 == maxx + e)))
+                    | ((y1 == y2) & ((y1 == miny - e) | (y1 == maxy + e)))
+                    ).any()
+        # filtered nearest from the probe above the gap = the prong
+        # corner (2, 8+e): sqrt(1.5² + (1.5−e)²)
+        nx, ny, d = predicates.nearest_on_segments(
+            np.array([3.5]), np.array([9.5]), segs)
+        want = np.hypot(1.5, 9.5 - (maxy + e))
+        assert d[0] == want
+
+    def test_q3_probe_through_bridge_gap_not_intersecting(self, spark):
+        """Q3 regression twin of the bridge bug: a two-prong region
+        whose prongs dip across a cell gridline is DISCONNECTED in the
+        lower cell, so its clip carries a bridge run along the cell
+        line across the prong gap. A line probe crossing the gridline
+        inside the gap touches ONLY that bridge — it must NOT report
+        the region; a probe through a prong must."""
+        import numpy as np
+
+        from areacity_query_geometry_spark import tiler
+        from areacity_query_geometry_spark.engine import SpatialEngine
+        from areacity_query_geometry_spark.geom import core, wkb
+        from areacity_query_geometry_spark.sources.geojson_source import (
+            BOUNDARY_SCHEMA,
+        )
+
+        # res-6 gridline at y = 5.625 runs through the prong gap
+        ring = np.array([(1.0, 7.0), (1.0, 4.0), (2.0, 4.0), (2.0, 6.5),
+                         (5.0, 6.5), (5.0, 4.0), (6.0, 4.0), (6.0, 7.0),
+                         (1.0, 7.0)])
+        gwkb = wkb.dumps({"type": "Polygon",
+                          "rings": [core.ensure_closed(ring)]})
+        prop = ('{"id":"P","pid":"0","deep":"0","name":"P",'
+                '"ext_path":"P"}')
+        b = spark.createDataFrame(
+            [(1, "P", "0", 0, "P", "P", "", prop, gwkb)], BOUNDARY_SCHEMA)
+        tiles = tiler.build_tiles(b, base_res=6, max_res=6).cache()
+        tiles.count()
+        eng = SpatialEngine(spark, b, tiles, base_res=6)
+
+        probes = spark.createDataFrame(
+            [(0, "LINESTRING (3.5 5.0, 3.5 6.0)"),    # gap: bridge only
+             (1, "LINESTRING (1.5 5.0, 1.5 6.0)"),    # through a prong
+             (2, "LINESTRING (3.5 6.75, 4.0 6.75)")], # inside connector
+            "probe_id long, wkt string")
+        rows = eng.query_geometry(probes, with_props=False).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(int(r["probe_id"]), set()).add(int(r["region_id"]))
+        assert 0 not in got or 1 not in got.get(0, set()), \
+            "bridge-only probe falsely intersects the region"
+        assert got.get(1) == {1}
+        assert got.get(2) == {1}
 
     def test_matched_point_passthrough(self, province_engine):
         rows = province_engine.query_points_with_tolerance(
