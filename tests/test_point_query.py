@@ -104,6 +104,65 @@ class TestLatticeSweepInvariants:
         assert engine_hits == oracle
 
 
+class TestRectProbeSweepParity:
+    """Q3 differential on REAL curved geometry: random rect probes vs a
+    direct per-feature oracle (any source segment touches the rect, or
+    a rect corner lies inside the region). Catches tile-clip artifacts
+    the fixture worlds can't — the Sutherland–Hodgman bridge runs along
+    cell gridlines live exactly where coastal rects straddle cells."""
+
+    def test_random_rects_parity(self, province_engine, spark):
+        import numpy as np
+
+        from areacity_query_geometry_spark.geom import (
+            core, geojson, predicates,
+        )
+
+        rng = np.random.RandomState(41)
+        n = 200
+        x0 = 98.0 + rng.rand(n) * 36.0
+        y0 = 18.0 + rng.rand(n) * 23.0
+        wdt = 10.0 ** (rng.rand(n) * 3 - 2)   # 0.01° .. 10°
+        hgt = 10.0 ** (rng.rand(n) * 3 - 2)
+        x1, y1 = x0 + wdt, y0 + hgt
+
+        probes = spark.createDataFrame(
+            [(int(i),
+              f"POLYGON (({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b}))")
+             for i, (a, b, c, d) in enumerate(zip(x0, y0, x1, y1))],
+            "probe_id long, wkt string")
+        rows = province_engine.query_geometry(
+            probes, with_props=False).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(int(r["probe_id"]), set()).add(
+                int(r["region_id"]))
+
+        feats = [
+            r for line in open(
+                "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json",
+                encoding="utf-8",
+            ) if (r := geojson.parse_feature_line(line))
+        ]
+        names = {int(r["region_id"]): r["name"]
+                 for r in province_engine.boundaries.select(
+                     "region_id", "name").collect()}
+        oracle = {}
+        for prop, g in feats:
+            if core.is_empty(g):
+                continue
+            name = geojson.extract_str(prop, "name")
+            segs = predicates.segments_of_rings(core.all_rings(g))
+            touch = predicates.segments_in_cells(segs, x0, y0, x1, y1)
+            corner = predicates.points_intersect_rings(
+                x0, y0, core.all_rings(g))
+            hit = np.asarray(touch) | np.asarray(corner)
+            for i in np.nonzero(hit)[0].tolist():
+                oracle.setdefault(i, set()).add(name)
+        got_names = {i: {names[rid] for rid in s} for i, s in got.items()}
+        assert got_names == oracle
+
+
 class TestTileGolden:
     def test_fixture_tile_stats_snapshot(self, spark):
         """Pins the tiler's per-region (n_tiles, n_interior) on the
