@@ -126,7 +126,56 @@ class TestTolerance:
         assert got.get(1) == {1}
         assert got.get(2) == {1}
 
-    def test_matched_point_passthrough(self, province_engine):
+    def test_offshore_sweep_distance_band(self, province_engine):
+        """Q2 differential on real geometry: every returned distance
+        must land in the region's honest haversine band, computed from
+        the SOURCE rings — lower bound = min over segments of haversine
+        at the per-segment planar argmin, upper bound = haversine at
+        the region's global planar argmin. A clip-window artifact
+        (bridge/closure run) undercuts the lower bound and fails."""
+        import numpy as np
+
+        from areacity_query_geometry_spark.geom import (
+            core, distance, geojson, predicates,
+        )
+
+        rng = np.random.RandomState(83)
+        pts = [(122.0 + rng.rand() * 1.5, 27.5 + rng.rand() * 10.0)
+               for _ in range(40)]  # sea strip east of the coast
+        rows = province_engine.query_points_with_tolerance(
+            _points_df(province_engine.spark, pts), 80_000).collect()
+        hits = [(int(r.point_id), r.name, float(r.point_distance))
+                for r in rows if r.point_distance is not None]
+        assert hits, "sweep produced no tolerance matches — widen strip"
+
+        feats = {}
+        for line in open(
+                "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json",
+                encoding="utf-8"):
+            r = geojson.parse_feature_line(line)
+            if r:
+                prop, g = r
+                feats[geojson.extract_str(prop, "name")] = g
+
+        for pid, name, d in hits:
+            px, py = pts[pid]
+            segs = predicates.segments_of_rings(core.all_rings(feats[name]))
+            # per-segment planar argmin points, haversine at each
+            x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+            dx, dy = x2 - x1, y2 - y1
+            ll = dx * dx + dy * dy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = np.clip(((px - x1) * dx + (py - y1) * dy)
+                            / np.where(ll == 0.0, 1.0, ll), 0.0, 1.0)
+            cx = x1 + t * dx
+            cy = y1 + t * dy
+            h = np.asarray(distance.haversine(
+                np.full(len(segs), px), np.full(len(segs), py), cx, cy))
+            lower = float(h.min())
+            planar = np.hypot(cx - px, cy - py)
+            upper = float(h[int(np.argmin(planar))])
+            assert lower - 1e-6 <= d <= upper + 1e-6, \
+                (pid, name, d, lower, upper)
         rows = province_engine.query_points_with_tolerance(
             _points_df(province_engine.spark, [(114.044346, 22.691963)]), 2500
         ).collect()
