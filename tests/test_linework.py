@@ -223,6 +223,42 @@ class TestLineLength:
             assert full[0][rid] == ln
 
 
+class TestRealGeometryResIndependence:
+    """The bridge-run bug's signature was a RESOLUTION-DEPENDENT
+    answer; pin the opposite for line lengths on real curved geometry:
+    two engines at different base_res must agree per (probe, region)
+    to fp tolerance (tile decompositions differ, the decomposed sums
+    may round differently — but the value is a property of the
+    geometry, not the grid)."""
+
+    def test_lengths_res_independent(self, spark):
+        import numpy as np
+
+        from areacity_query_geometry_spark.engine import SpatialEngine
+
+        path = ("/root/reference/"
+                "仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json")
+        eng6 = SpatialEngine.from_geojson(spark, path, base_res=6)
+        eng8 = SpatialEngine.from_geojson(spark, path, base_res=8)
+
+        rng = np.random.RandomState(71)
+        segs = []
+        for _ in range(60):
+            a = 100.0 + rng.rand() * 30.0
+            b = 20.0 + rng.rand() * 20.0
+            ln = 10.0 ** (rng.rand() * 2 - 1)
+            ang = rng.rand() * 2 * np.pi
+            segs.append((a, b, a + ln * np.cos(ang), b + ln * np.sin(ang)))
+        r6 = run_lengths(spark, eng6, segs)
+        r8 = run_lengths(spark, eng8, segs)
+        assert set(r6) == set(r8)
+        for pid in r6:
+            assert set(r6[pid]) == set(r8[pid]), pid
+            for rid, v in r6[pid].items():
+                assert v == pytest.approx(r8[pid][rid], rel=1e-9), \
+                    (pid, rid)
+
+
 class TestWktPolylines:
     def _collect(self, spark, eng, rows):
         probes = spark.createDataFrame(rows, "probe_id long, wkt string")

@@ -163,6 +163,63 @@ class TestRectProbeSweepParity:
         assert got_names == oracle
 
 
+class TestLineProbeSweepParity:
+    """Q3 line-probe differential on real curved geometry: random
+    segments vs a direct per-feature oracle (probe crosses any source
+    segment, or an endpoint lies inside the region)."""
+
+    def test_random_lines_parity(self, province_engine, spark):
+        import numpy as np
+
+        from areacity_query_geometry_spark.geom import (
+            core, geojson, predicates,
+        )
+
+        rng = np.random.RandomState(59)
+        n = 200
+        x1 = 98.0 + rng.rand(n) * 36.0
+        y1 = 18.0 + rng.rand(n) * 23.0
+        ln = 10.0 ** (rng.rand(n) * 3 - 2)
+        ang = rng.rand(n) * 2 * np.pi
+        x2 = x1 + ln * np.cos(ang)
+        y2 = y1 + ln * np.sin(ang)
+
+        probes = spark.createDataFrame(
+            [(int(i), f"LINESTRING ({a} {b}, {c} {d})")
+             for i, (a, b, c, d) in enumerate(zip(x1, y1, x2, y2))],
+            "probe_id long, wkt string")
+        rows = province_engine.query_geometry(
+            probes, with_props=False).collect()
+        names = {int(r["region_id"]): r["name"]
+                 for r in province_engine.boundaries.select(
+                     "region_id", "name").collect()}
+        got = {}
+        for r in rows:
+            got.setdefault(int(r["probe_id"]), set()).add(
+                names[int(r["region_id"])])
+
+        feats = [
+            r for line in open(
+                "/root/reference/仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json",
+                encoding="utf-8",
+            ) if (r := geojson.parse_feature_line(line))
+        ]
+        oracle = {}
+        for prop, g in feats:
+            if core.is_empty(g):
+                continue
+            name = geojson.extract_str(prop, "name")
+            rings = core.all_rings(g)
+            segs = predicates.segments_of_rings(rings)
+            cross = predicates.segs_intersect_segs_any(x1, y1, x2, y2, segs)
+            inside = (predicates.points_intersect_rings(x1, y1, rings)
+                      | predicates.points_intersect_rings(x2, y2, rings))
+            hit = np.asarray(cross) | np.asarray(inside)
+            for i in np.nonzero(hit)[0].tolist():
+                oracle.setdefault(i, set()).add(name)
+        assert got == oracle
+
+
 class TestTileGolden:
     def test_fixture_tile_stats_snapshot(self, spark):
         """Pins the tiler's per-region (n_tiles, n_interior) on the
