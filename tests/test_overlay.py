@@ -171,6 +171,36 @@ class TestOverlayArea:
             world_engine, probes, where="deep = 0").collect()
         assert {int(r["region_id"]) for r in rows} == {1}
 
+    def test_real_geometry_res_independent(self, spark):
+        """Random partial windows over real curved geometry: engines at
+        base_res 6 and 8 must report the same (window, region) areas to
+        rel 1e-9 — the area is a property of the geometry, not of the
+        tile grid (the overlay kernel's exact-cell re-clip undoes
+        CLIP_EPS, and zero-width bridge runs are area-neutral)."""
+        import numpy as np
+
+        from areacity_query_geometry_spark.engine import SpatialEngine
+
+        path = ("/root/reference/"
+                "仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json")
+        eng6 = SpatialEngine.from_geojson(spark, path, base_res=6)
+        eng8 = SpatialEngine.from_geojson(spark, path, base_res=8)
+        rng = np.random.RandomState(13)
+        wins = []
+        for _ in range(40):
+            a = 100.0 + rng.rand() * 30.0
+            b = 20.0 + rng.rand() * 20.0
+            wins.append((a, b, a + 10.0 ** (rng.rand() * 2 - 1),
+                         b + 10.0 ** (rng.rand() * 2 - 1)))
+        r6 = run_overlay(spark, eng6, wins)
+        r8 = run_overlay(spark, eng8, wins)
+        assert set(r6) == set(r8)
+        for pid in r6:
+            assert set(r6[pid]) == set(r8[pid]), pid
+            for rid, v in r6[pid].items():
+                assert v == pytest.approx(r8[pid][rid], rel=1e-9), \
+                    (pid, rid)
+
 
 class TestDecomposition:
     """max_cells_per_side splits huge windows into grid-aligned
