@@ -44,6 +44,13 @@ def _engine(spark: SparkSession) -> SpatialEngine:
             try:
                 tile_store.save(eng, _FIXTURE_STORE,
                                 {"base_res": 7, "max_res": 9, "seg_budget": 48})
+                # reload so eng.tiles is the parquet store scan: cold and
+                # warm sessions then expose IDENTICAL plans (the cached
+                # build pipeline would otherwise leak its tiler
+                # MapInPandas into every downstream explain/plan-audit)
+                tiles.unpersist()
+                boundaries.unpersist()
+                eng = tile_store.load(spark, _FIXTURE_STORE)
             except Exception:
                 pass  # read-only /tmp → keep the in-memory engine
         eng.tiles = eng.tiles.cache()

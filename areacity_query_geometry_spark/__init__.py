@@ -6,4 +6,7 @@ instead of an in-heap JTS STRtree).
 """
 __version__ = "0.1.0"
 
-GRID_VERSION = 1  # bump to invalidate persisted tile tables (wkbs @Version analog)
+GRID_VERSION = 2  # bump to invalidate persisted tile tables (wkbs @Version analog)
+# v2: tiler._dissolve_window_runs splits Sutherland–Hodgman bridge runs
+# out of clipped tile rings (clean multipolygon components; bridge-free
+# tiles are byte-identical to v1)

@@ -63,6 +63,115 @@ TILE_SCHEMA = StructType([
 CLIP_EPS = 1e-9
 
 
+def _dissolve_window_runs(ring, wx0, wy0, wx1, wy1):
+    """Split a clipped ring at Sutherland–Hodgman BRIDGE runs.
+
+    When one source ring's intersection with the clip window is
+    disconnected, S–H emits a single output ring whose components are
+    connected by zero-width channels running along the window boundary
+    — antiparallel overlapping runs whose enclosed area cancels under
+    even-odd parity but whose SEGMENTS lie outside the region (the
+    false-distance/false-intersects artifact, see engine._distance_segs)
+    and whose polygons are invalid for downstream JTS consumers of the
+    exported `.wkbs`. This pass makes the stored geometry clean:
+
+    1. window-collinear edges (exact equality with the expanded window
+       coordinates — assigned at clip time, never computed) subdivide
+       at the union of their endpoints along each window line (copied
+       coordinates only);
+    2. exactly-opposed piece pairs cancel (multiset: |fwd − rev|
+       survivors keep the majority direction);
+    3. surviving edges re-chain into closed loops (deterministic
+       Hierholzer: lowest-original-index successor), dropping
+       degenerate 2-edge spikes.
+
+    Returns [ring] UNCHANGED (same array) when nothing cancels — the
+    overwhelmingly common case, keeping bridge-free tile WKBs (all of
+    the gate fixture world) byte-identical. Total signed area is
+    preserved exactly: the shoelace sum is grouping-independent and
+    cancelled pairs contribute zero."""
+    a = ring[:-1]
+    b = ring[1:]
+    n = len(a)
+    edges = []       # (ax, ay, bx, by) per original edge, expanded below
+    win_of = []      # line key per edge, None for interior edges
+    for i in range(n):
+        ax, ay = float(a[i, 0]), float(a[i, 1])
+        bx, by = float(b[i, 0]), float(b[i, 1])
+        if ax == bx and (ax == wx0 or ax == wx1):
+            key = ("x", ax)
+        elif ay == by and (ay == wy0 or ay == wy1):
+            key = ("y", ay)
+        else:
+            key = None
+        edges.append((ax, ay, bx, by))
+        win_of.append(key)
+
+    # breakpoints per window line: union of collinear edges' endpoints
+    brk: dict = {}
+    for e, key in zip(edges, win_of):
+        if key is None:
+            continue
+        lo_hi = (e[1], e[3]) if key[0] == "x" else (e[0], e[2])
+        brk.setdefault(key, set()).update(lo_hi)
+
+    pieces: dict = {}   # (key, lo, hi) -> [fwd_count, rev_count]
+    out = []            # final directed edge list (order preserved)
+    for e, key in zip(edges, win_of):
+        if key is None:
+            out.append(e)
+            continue
+        va, vb = (e[1], e[3]) if key[0] == "x" else (e[0], e[2])
+        cuts = sorted(c for c in brk[key] if min(va, vb) < c < max(va, vb))
+        seq = [va] + (cuts if va < vb else cuts[::-1]) + [vb]
+        for p, q in zip(seq[:-1], seq[1:]):
+            if p == q:
+                continue
+            lo, hi = (p, q) if p < q else (q, p)
+            ent = pieces.setdefault((key, lo, hi), [0, 0])
+            ent[0 if p < q else 1] += 1
+    # emit surviving window pieces in deterministic (line, lo) order
+    cancelled = False
+    for (key, lo, hi), (fwd, rev) in sorted(pieces.items()):
+        k = min(fwd, rev)
+        if k:
+            cancelled = True
+        keep, direction = (fwd - k, +1) if fwd >= rev else (rev - k, -1)
+        for _ in range(keep):
+            p, q = (lo, hi) if direction > 0 else (hi, lo)
+            if key[0] == "x":
+                out.append((key[1], p, key[1], q))
+            else:
+                out.append((p, key[1], q, key[1]))
+    if not cancelled:
+        return [ring]
+
+    # deterministic Hierholzer cycle decomposition
+    succ: dict = {}
+    for i, e in enumerate(out):
+        succ.setdefault((e[0], e[1]), []).append(i)
+    used = [False] * len(out)
+    loops = []
+    for start in range(len(out)):
+        if used[start]:
+            continue
+        cyc = []
+        cur = start
+        while True:
+            used[cur] = True
+            e = out[cur]
+            cyc.append((e[0], e[1]))
+            head = (e[2], e[3])
+            nxts = [j for j in succ.get(head, []) if not used[j]]
+            if not nxts:
+                break
+            cur = nxts[0]
+        if len(cyc) >= 3:
+            arr = np.asarray(cyc + [cyc[0]], dtype=np.float64)
+            loops.append(arr)
+    return loops
+
+
 def clip_geom_to_cell(geom: dict, cell_id: int) -> bytes | None:
     minx, miny, maxx, maxy = grid.cell_bounds(cell_id)
     minx -= CLIP_EPS
@@ -74,7 +183,8 @@ def clip_geom_to_cell(geom: dict, cell_id: int) -> bytes | None:
         for r in rings:
             c = predicates.clip_ring_to_rect(r, minx, miny, maxx, maxy)
             if len(c):
-                rings_out.append(c)
+                rings_out.extend(
+                    _dissolve_window_runs(c, minx, miny, maxx, maxy))
     if not rings_out:
         return None
     return wkb.dumps({"type": "Polygon", "rings": rings_out})
@@ -188,7 +298,10 @@ def _tile_batches(base_res: int, max_res: int, seg_budget: int):
                                 ringarr[:n, 0] = vx[s:e2]
                                 ringarr[:n, 1] = vy[s:e2]
                                 ringarr[n] = ringarr[0]
-                                rings_out.append(ringarr)
+                                rings_out.extend(_dissolve_window_runs(
+                                    ringarr,
+                                    bminx[i] - CLIP_EPS, bminy[i] - CLIP_EPS,
+                                    bmaxx[i] + CLIP_EPS, bmaxy[i] + CLIP_EPS))
                         if not rings_out:
                             continue
                         twkb = wkb.dumps({"type": "Polygon", "rings": rings_out})
