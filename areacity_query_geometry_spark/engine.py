@@ -457,14 +457,26 @@ class SpatialEngine:
         boundaries: DataFrame,
         tiles: DataFrame,
         base_res: int,
-        broadcast_tiles: bool = True,
+        broadcast_tiles: bool | str = "auto",
         salt_buckets: int = 0,
         probe_salt: int = 8,
         interior_broadcast_rows: int = 12_000_000,
         boundary_broadcast_rows: int = 1_500_000,
         boundary_index_wkb_bytes: int = 128 << 20,
+        broadcast_wkb_budget: int = 128 << 20,
     ):
-        """salt_buckets: when the tile set is too large to broadcast
+        """broadcast_tiles: "auto" (default) resolves LAZILY from the
+        tile table's own statistics at first query: whole-table
+        broadcast iff row count < 3M AND boundary tile-WKB bytes ≤
+        `broadcast_wkb_budget`. The byte condition is the one that
+        matters at scale — measured on the 40k-feature township set
+        (1.04M tiles but 10M boundary points ≈ 0.3 GB WKB), replicating
+        the boundary WKB through a whole-table broadcast runs 4.6×
+        slower than the shuffle legs, while the 3.7M-tile dense set
+        (small per-tile WKB) broadcasts fine per-branch. Explicit
+        True/False pins the leg (tests and benches force both).
+
+        salt_buckets: when the tile set is too large to broadcast
         (broadcast_tiles=False) the join becomes a shuffle join on
         cell_id, and dense-city probe skew concentrates on few cells —
         salting replicates each tile row S× under (cell_id, salt) and
@@ -488,6 +500,13 @@ class SpatialEngine:
         is lower. Past both ceilings the join degrades gracefully to
         the salted sort-merge path.
 
+        broadcast_wkb_budget: boundary tile-WKB byte ceiling for ANY
+        broadcast that carries tile_wkb — the "auto" whole-table
+        resolution above AND the per-branch boundary broadcast on the
+        broadcast_tiles=False path (its row ceiling alone cannot see a
+        set of few-but-huge tiles). Same 128 MB default as the index
+        budget: both price the same once-per-worker memory regime.
+
         boundary_index_wkb_bytes: WKB-byte budget for the broadcast
         boundary-tile index (the unshuffled Q1 boundary refine). The
         decoded index is ~4× the WKB bytes, held once per Python
@@ -500,12 +519,15 @@ class SpatialEngine:
         self.boundaries = boundaries
         self.tiles = tiles
         self.base_res = base_res
+        self._bt_auto: bool | None = None
+        self._wkb_bytes: int | None = None
         self.broadcast_tiles = broadcast_tiles
         self.salt_buckets = salt_buckets
         self.probe_salt = max(1, probe_salt)
         self.interior_broadcast_rows = interior_broadcast_rows
         self.boundary_broadcast_rows = boundary_broadcast_rows
         self.boundary_index_wkb_bytes = boundary_index_wkb_bytes
+        self.broadcast_wkb_budget = broadcast_wkb_budget
         self._kind_counts: dict[int, int] | None = None
         self._bindex: tuple | None = None  # (Broadcast, bcells_df)
         self._bindex_off = False
@@ -546,8 +568,7 @@ class SpatialEngine:
             t_read = time.time() - t0
             tiles = tiles.localCheckpoint(eager=True)
         n_tiles = tiles.count()
-        eng = cls(spark, boundaries, tiles, base_res,
-                  broadcast_tiles=n_tiles < 3_000_000)
+        eng = cls(spark, boundaries, tiles, base_res)  # auto join strategy
         eng._init_meta = {
             "file_path_data": path,
             "data_from_store": False,
@@ -584,6 +605,40 @@ class SpatialEngine:
         return grid.cell_id_sql_expr(lng_col, lat_col, self.base_res)
 
     # ------------------------------------------------- shared join spine
+
+    @property
+    def broadcast_tiles(self) -> bool:
+        """The whole-table broadcast decision. Explicit True/False pins
+        it; "auto" resolves lazily (and caches) from the tile table's
+        own statistics — see __init__'s docstring for the rule."""
+        cfg = self._broadcast_tiles_cfg
+        if cfg != "auto":
+            return bool(cfg)
+        if self._bt_auto is None:
+            n_tiles = sum(self._tile_counts_by_kind().values())
+            self._bt_auto = (
+                n_tiles < 3_000_000
+                and self._boundary_wkb_bytes() <= self.broadcast_wkb_budget)
+        return self._bt_auto
+
+    @broadcast_tiles.setter
+    def broadcast_tiles(self, value: bool | str) -> None:
+        if value != "auto" and not isinstance(value, bool):
+            raise ValueError(f"broadcast_tiles must be bool or 'auto', "
+                             f"got {value!r}")
+        self._broadcast_tiles_cfg = value
+        self._bt_auto = None
+
+    def _boundary_wkb_bytes(self) -> int:
+        """Total tile_wkb bytes across boundary (kind≠1) tiles — the
+        engine's ONE byte statistic, cached and shared by the "auto"
+        broadcast resolution, the per-branch boundary-broadcast ceiling,
+        and the boundary-index budget check (1-row agg collect)."""
+        if self._wkb_bytes is None:
+            stat = (self.tiles.filter(F.col("kind") != 1)
+                    .agg(F.sum(F.length("tile_wkb")).alias("b")).collect())
+            self._wkb_bytes = int(stat[0]["b"] or 0)
+        return self._wkb_bytes
 
     def _tile_counts_by_kind(self) -> dict[int, int]:
         """Per-kind tile counts, cached — ≤3 rows over the checkpointed
@@ -642,12 +697,10 @@ class SpatialEngine:
             return self._bindex
         if self._bindex_off or self.boundary_index_wkb_bytes <= 0:
             return None
-        tb = self.tiles.filter(F.col("kind") != 1)
-        stat = tb.agg(F.sum(F.length("tile_wkb")).alias("b")).collect()[0]
-        wkb_bytes = int(stat["b"] or 0)
-        if wkb_bytes > self.boundary_index_wkb_bytes:
+        if self._boundary_wkb_bytes() > self.boundary_index_wkb_bytes:
             self._bindex_off = True
             return None
+        tb = self.tiles.filter(F.col("kind") != 1)
 
         out_schema = StructType([
             StructField("cell_id", LongType()),
@@ -782,7 +835,13 @@ class SpatialEngine:
                            if n_i <= self.interior_broadcast_rows
                            else ti.hint("shuffle_merge"))
                 tb = base.filter(F.col("kind") != 1)
-                bcast_b = n_b <= self.boundary_broadcast_rows
+                # the boundary branch carries tile_wkb, so its broadcast
+                # decision is BYTE-aware, not just row-aware: few-but-
+                # huge tiles (township set: 955k rows, 0.3 GB WKB) must
+                # take the shuffle leg even under the row ceiling
+                bcast_b = (n_b <= self.boundary_broadcast_rows
+                           and self._boundary_wkb_bytes()
+                           <= self.broadcast_wkb_budget)
                 tiles_b = (F.broadcast(tb) if bcast_b
                            else tb.hint("shuffle_merge"))
             interior = probe.join(tiles_i, "cell_id") \

@@ -46,6 +46,10 @@ def save(engine: SpatialEngine, path: str, params: dict,
         "grid_version": GRID_VERSION,
         "n_features": engine.boundaries.count(),
         "n_tiles": engine.tiles.count(),
+        # join-strategy statistics (seeds the loaded engine's "auto"
+        # broadcast resolution without re-scanning the tile table)
+        "boundary_wkb_bytes": engine._boundary_wkb_bytes(),
+        "tiles_by_kind": engine._tile_counts_by_kind(),
         **params,
     }
     fmt.write_meta(engine.spark, path, meta)
@@ -74,10 +78,15 @@ def load(spark: SparkSession, path: str,
         raise FileNotFoundError(f"no valid store metadata at {path}")
     boundaries = fmt.read_boundaries(spark, path).cache()
     tiles = fmt.read_tiles(spark, path).cache()
-    eng = SpatialEngine(
-        spark, boundaries, tiles, base_res=meta["base_res"],
-        broadcast_tiles=meta["n_tiles"] < 3_000_000,
-    )
+    eng = SpatialEngine(spark, boundaries, tiles, base_res=meta["base_res"])
+    # seed the auto join-strategy statistics from the store metadata so
+    # loading costs no extra jobs (older stores lack the keys → the
+    # engine computes them lazily from the parquet)
+    if "boundary_wkb_bytes" in meta:
+        eng._wkb_bytes = int(meta["boundary_wkb_bytes"])
+    if "tiles_by_kind" in meta:
+        eng._kind_counts = {int(k): int(v)
+                            for k, v in meta["tiles_by_kind"].items()}
     # DataFromWkbsFile analog (QueryInitInfo, AreaCityQuery.java:1562-1565)
     eng._init_meta = {"data_from_store": True, "store_path": path,
                       "polygon_count": meta.get("n_tiles"), **meta}
@@ -121,24 +130,29 @@ def load_or_build(
     (AreaCityQuery.java:663-669): reuse the persisted store when its
     parameters match, else rebuild and persist. Like the reference's
     `dataFilePath` (`*.wkbs` | `*.json`, AreaCityQuery.java:509-511),
-    the data file may be either line-delimited GeoJSON or an existing
-    reference `.wkbs` cache (sources/wkbs_source.py on-boarding)."""
+    the data file may be line-delimited GeoJSON, an existing reference
+    `.wkbs` cache (sources/wkbs_source.py), or a GeoParquet boundary
+    dataset directory (sources/geoparquet.py on-boarding)."""
     from .. import grid
 
     if max_res is None:
         max_res = min(grid.MAX_RES, base_res + 4)
     if available(store_path, base_res, max_res, seg_budget):
         return load(spark, store_path)
+    from . import geoparquet as geoparquet_source
+
     if geojson_path.endswith(".wkbs"):
         from . import wkbs_source
 
         boundaries = wkbs_source.read_boundaries(spark, geojson_path).cache()
+    elif geoparquet_source.is_geoparquet_dataset(geojson_path):
+        boundaries = geoparquet_source.read_boundaries(
+            spark, geojson_path).cache()
     else:
         boundaries = geojson_source.read_boundaries(spark, geojson_path).cache()
     tiles = tiler.build_tiles(boundaries, base_res, max_res, seg_budget).cache()
-    n_tiles = tiles.count()
-    engine = SpatialEngine(spark, boundaries, tiles, base_res,
-                           broadcast_tiles=n_tiles < 3_000_000)
+    tiles.count()
+    engine = SpatialEngine(spark, boundaries, tiles, base_res)
     save(engine, store_path,
          {"base_res": base_res, "max_res": max_res, "seg_budget": seg_budget})
     return load(spark, store_path)

@@ -124,31 +124,38 @@ def main():
         return int(row["n"]), int(row["h"] or 0)
 
     legs = {}
-    engines = [("sortmerge_salted", SpatialEngine(
-        spark, boundaries, tiles, BASE_RES,
-        broadcast_tiles=False, salt_buckets=4))]
-    if n_tiles < 3_000_000:
-        # below the engine's broadcast threshold both legs run and the
-        # hit-sets hash-compare; above it broadcast is exactly the plan
-        # the threshold exists to forbid, so only the SMJ leg runs
-        engines.insert(0, ("broadcast",
-                           SpatialEngine(spark, boundaries, tiles, BASE_RES)))
+    auto_eng = SpatialEngine(spark, boundaries, tiles, BASE_RES)
+    engines = [("auto", auto_eng),
+               ("sortmerge_salted", SpatialEngine(
+                   spark, boundaries, tiles, BASE_RES,
+                   broadcast_tiles=False, salt_buckets=4))]
+    if n_tiles < 3_000_000 and not auto_eng.broadcast_tiles:
+        # the auto rule refused the whole-table broadcast on byte
+        # volume; run the forced-broadcast leg too so the refusal is
+        # MEASURED, not asserted (hit-sets hash-compare across all legs)
+        engines.insert(1, ("broadcast_forced",
+                           SpatialEngine(spark, boundaries, tiles, BASE_RES,
+                                         broadcast_tiles=True)))
     for name, eng in engines:
         out = eng.query_points(probes, with_props=False)
         # warm Python workers on a sample (never .limit() — it
-        # collapses partitions) before the timed full run
+        # collapses partitions) before the timed full runs
         eng.query_points(probes.sample(0.02, seed=1),
                          with_props=False).count()
-        t1 = time.time()
-        n, h = hit_hash(out)
-        legs[name] = {"sec": round(time.time() - t1, 2),
+        # best-of-2: the FIRST heavy job in a fresh JVM additionally
+        # pays lazy heap growth (-Xmx without -Xms, see CLAUDE.md), so a
+        # single timing biases whichever leg runs first
+        runs = []
+        for _ in range(2):
+            t1 = time.time()
+            n, h = hit_hash(out)
+            runs.append(round(time.time() - t1, 2))
+        legs[name] = {"sec": min(runs), "runs_sec": runs,
                       "hits": n, "hit_hash": h}
 
-    equal = None
-    if "broadcast" in legs:
-        equal = (legs["broadcast"]["hits"] == legs["sortmerge_salted"]["hits"]
-                 and legs["broadcast"]["hit_hash"]
-                 == legs["sortmerge_salted"]["hit_hash"])
+    vals = list(legs.values())
+    equal = all(v["hits"] == vals[0]["hits"]
+                and v["hit_hash"] == vals[0]["hit_hash"] for v in vals)
     print(json.dumps({
         "metric": "township_tiler_stress",
         "n_features": N_FEATURES,
