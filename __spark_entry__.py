@@ -1726,61 +1726,14 @@ _MH_P = 1_000_000_007
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) → LSH banding (4 bands × 4 rows) → bucket self-join →
     exact Jaccard verification of candidates. Fully deterministic: the
-    shingle hash is the md5-prefix integer, identical across engines."""
+    shingle hash is the md5-prefix integer, identical across engines.
+    The SQL is built by pipeline/minhash.py::near_dup_sql — the same
+    builder the N-vs-4N dedup scaling bench (tools/submit_dedup.py)
+    runs, so the scaling evidence measures THIS gate's plan."""
+    from areacity_query_geometry_spark.pipeline import minhash
+
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(f"""
-        WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        shingles AS (
-            SELECT doc_id, explode(array_distinct(transform(
-                sequence(0, size(w) - 3),
-                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g
-            FROM words WHERE size(w) >= 3
-        ),
-        h AS (
-            SELECT doc_id,
-                   CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {_MH_P} AS h0
-            FROM shingles
-        ),
-        sig0 AS (
-            -- 16 min-aggregates in ONE pass (map-side combine) instead of
-            -- exploding every shingle 16x through the shuffle; identical
-            -- values to min over i of ((2i+3)*h0 + 7i + 11) %% P
-            SELECT doc_id,
-                   {", ".join(f"min(({2 * i + 3} * h0 + {7 * i + 11}) % {_MH_P}) AS mh{i}"
-                              for i in range(16))}
-            FROM h GROUP BY doc_id
-        ),
-        sig AS (
-            SELECT doc_id,
-                   stack(16, {", ".join(f"{i}, mh{i}" for i in range(16))}) AS (i, mh)
-            FROM sig0
-        ),
-        bands AS (
-            SELECT doc_id, CAST(floor(i / 4) AS INT) AS band,
-                   array_join(array_sort(collect_list(
-                       concat(CAST(i AS STRING), ':', CAST(mh AS STRING)))), '-') AS bsig
-            FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INT)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-        ),
-        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-        verified AS (
-            SELECT c.d1, c.d2, count(*) AS shared
-            FROM cand c
-            JOIN shingles s1 ON s1.doc_id = c.d1
-            JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-            GROUP BY c.d1, c.d2
-        )
-        SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
-               round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
-        FROM verified v
-        JOIN counts c1 ON v.d1 = c1.doc_id
-        JOIN counts c2 ON v.d2 = c2.doc_id
-        WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= 0.05
-    """)
+    return spark.sql(minhash.near_dup_sql("documents"))
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

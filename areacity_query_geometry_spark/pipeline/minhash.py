@@ -1,0 +1,86 @@
+"""MinHash + LSH near-duplicate detection — the shared SQL builder.
+
+One source of truth for the pipeline shape both the oracle gate
+(`__spark_entry__.minhash_lsh_near_dup`) and the N-vs-4N scaling bench
+(`tools/submit_dedup.py`) run: word 3-gram shingles → md5-prefix
+integer hash → K min-aggregates computed in ONE group-by pass (map-side
+combine collapses each doc's shingles inside its scan partition — the
+shuffle carries K numbers per doc, never the shingle stream, and never
+a K× explode) → band signatures → bucket equi-self-join (candidates
+only meet inside a (band, signature) bucket — no all-pairs anywhere) →
+exact Jaccard verification of the candidates.
+
+Scale shape at 10^12 docs: the only wide shuffles are keyed by doc_id
+(signature build) and by (band, bsig) (bucket join); hot buckets are
+bounded because a bucket is an exact K/bands-row signature match —
+only true near-duplicates collide. Everything is deterministic integer
+arithmetic (md5-prefix mod P), identical across engines and
+parallelism levels.
+"""
+from __future__ import annotations
+
+MH_P = 1_000_000_007
+
+
+def near_dup_sql(view: str, n_hashes: int = 16, band_rows: int = 4,
+                 min_jaccard: float = 0.05) -> str:
+    """The full near-dup query over `view`(doc_id, text). Returns
+    (d1, d2, jaccard) for every verified candidate pair ≥ min_jaccard.
+    n_hashes must be a multiple of band_rows."""
+    assert n_hashes % band_rows == 0
+    mins = ", ".join(
+        f"min(({2 * i + 3} * h0 + {7 * i + 11}) % {MH_P}) AS mh{i}"
+        for i in range(n_hashes))
+    stacked = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
+    return f"""
+        WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM {view}),
+        shingles AS (
+            SELECT doc_id, explode(array_distinct(transform(
+                sequence(0, size(w) - 3),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g
+            FROM words WHERE size(w) >= 3
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {MH_P} AS h0
+            FROM shingles
+        ),
+        sig0 AS (
+            -- {n_hashes} min-aggregates in ONE pass (map-side combine)
+            -- instead of exploding every shingle {n_hashes}x through
+            -- the shuffle; identical values to min over i of
+            -- ((2i+3)*h0 + 7i + 11) %% P
+            SELECT doc_id, {mins}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                   stack({n_hashes}, {stacked}) AS (i, mh)
+            FROM sig0
+        ),
+        bands AS (
+            SELECT doc_id, CAST(floor(i / {band_rows}) AS INT) AS band,
+                   array_join(array_sort(collect_list(
+                       concat(CAST(i AS STRING), ':', CAST(mh AS STRING)))), '-') AS bsig
+            FROM sig GROUP BY doc_id, CAST(floor(i / {band_rows}) AS INT)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        verified AS (
+            SELECT c.d1, c.d2, count(*) AS shared
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.d1
+            JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+            GROUP BY c.d1, c.d2
+        )
+        SELECT CAST(v.d1 AS BIGINT) AS d1, CAST(v.d2 AS BIGINT) AS d2,
+               round(CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared), 4) AS jaccard
+        FROM verified v
+        JOIN counts c1 ON v.d1 = c1.doc_id
+        JOIN counts c2 ON v.d2 = c2.doc_id
+        WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= {min_jaccard}
+    """
