@@ -1136,6 +1136,7 @@ class SpatialEngine:
     def query_points_with_tolerance(
         self, points: DataFrame, tolerance_m: float,
         where: str | None = None, lng="lng", lat="lat", k: int = 1,
+        cover_res: int | None = None,
     ) -> DataFrame:
         """Q2 — nearest-boundary fallback (≙ QueryPointWithTolerance,
         /root/reference/AreaCityQuery.java:102-163).
@@ -1171,6 +1172,20 @@ class SpatialEngine:
             ])
 
             tol_m = float(tolerance_m)
+            # cover_res knob: covering the 24-gon bbox at a res coarser
+            # than base_res shrinks the cover shuffle O((tol/cell)²)-
+            # fold but multiplies the (probe, tile) candidate pairs the
+            # dist_fn gates must score. MEASURED on the dense fixture
+            # (25 km, 1M probes, local[8]): base_res 25.4 s vs 30-48 s
+            # at res 12..9 — the per-pair nearest_on_segments gate
+            # outweighs the 27M-row shuffle it saves, so the default
+            # stays base_res; the knob remains for boundary sets dense
+            # enough to invert that trade. Output is IDENTICAL at any
+            # cover_res (checksum-swept): the cover only proposes
+            # candidates — the per-tile inscribed/escribed radius gates
+            # + the exact 24-gon test in dist_fn decide membership.
+            cov_res = max(0, min(base_res,
+                                 base_res if cover_res is None else cover_res))
 
             def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # Fully vectorized: the 24-gon circle vertices
@@ -1179,8 +1194,8 @@ class SpatialEngine:
                 # closed-bbox cell ranges enumerated with repeat/cumsum
                 # arithmetic — no per-row Python on the (potentially
                 # billions-of-docs) miss set.
-                n_side = 1 << base_res
-                w = grid.cell_width(base_res)
+                n_side = 1 << cov_res
+                w = grid.cell_width(cov_res)
                 km = tol_m / 1000.0
                 a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
                 ang = np.arange(24) * (360.0 / 24) * (np.pi / 180.0)
@@ -1221,14 +1236,33 @@ class SpatialEngine:
                         "point_id": pid[rep].astype("int64"),
                         "lng": px[rep],
                         "lat": py[rep],
-                        "cell_id": grid.pack(base_res, ix, iy),
+                        "cell_id": grid.pack(cov_res, ix, iy),
                     })
 
+            # cover_fn explodes every miss ~(tol/cell)²-fold, so its
+            # input partitioning must not ride AQE's byte-based
+            # coalescing of the upstream anti-join (165k skinny miss
+            # rows look like "3 partitions" to AQE; the explode then
+            # runs 82× fan-out on 3 tasks — measured an 11.6 s
+            # straggler vs 2.7 s peers at local[2]). One cheap hash
+            # shuffle of the skinny miss set restores explode
+            # parallelism at any cluster size.
+            misses = misses.repartition(F.col("point_id"))
             cover = misses.mapInPandas(cover_fn, cover_schema)
-            cand = cover.join(
-                self._tiles_for(where).filter(F.col("kind") == 0), "cell_id"
-            ).select("point_id", "lng", "lat", "region_id",
-                     "minx", "miny", "maxx", "maxy", "tile_wkb")
+            tiles_b = self._tiles_for(where).filter(F.col("kind") == 0)
+            if cov_res < base_res:
+                tiles_b = tiles_b.withColumn(
+                    "_cover_cell",
+                    F.expr(grid.parent_cell_sql_expr(
+                        "cell_id", base_res, cov_res)))
+                cand = cover.join(
+                    tiles_b,
+                    cover["cell_id"] == tiles_b["_cover_cell"])
+            else:
+                cand = cover.join(tiles_b, "cell_id")
+            cand = cand.select(
+                "point_id", "lng", "lat", "region_id",
+                "minx", "miny", "maxx", "maxy", "tile_wkb")
         else:  # tolerance -1: unlimited — every boundary tile is a candidate
             # (the reference documents -1 as "traverses all data,
             # performance extremely low", AreaCityQuery.java:100.)
