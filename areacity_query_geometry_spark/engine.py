@@ -76,6 +76,52 @@ def _distance_segs(g: dict, minx: float, miny: float,
     return segs[~on_win]
 
 
+def _circle_cell_cover(px: np.ndarray, py: np.ndarray,
+                       tol_m: float, res: int):
+    """(point-index repeat, packed cell id) rows covering each point's
+    24-gon tolerance circle with the closed-bbox cell semantics of
+    grid.cover_bbox. The circle vertices are the CreateSimpleCircle
+    step-ladder arithmetic (AreaCityQuery.java:1388-1405); everything
+    is vectorized (repeat/cumsum range enumeration — no per-row
+    Python). Shared by the cover-join and broadcast-index Q2 paths so
+    both propose identical candidate cells by construction."""
+    n_side = 1 << res
+    w = grid.cell_width(res)
+    km = tol_m / 1000.0
+    a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
+    ang = np.arange(24) * (360.0 / 24) * (np.pi / 180.0)
+    cosg, sing = np.cos(ang), np.sin(ang)
+    b = np.asarray(distance.haversine(px, py, px + a, py))
+    c = np.asarray(distance.haversine(px, py, px, py + a))
+    rb = tol_m / b * a
+    rc = tol_m / c * a
+    vx = px[:, None] + rb[:, None] * cosg[None, :]
+    vy = py[:, None] + rc[:, None] * sing[None, :]
+    minx, maxx = vx.min(axis=1), vx.max(axis=1)
+    miny, maxy = vy.min(axis=1), vy.max(axis=1)
+    # closed-bbox semantics of grid.cover_bbox: a min edge exactly on
+    # a cell border also includes the neighbour
+    fx0 = (minx + 180.0) / w
+    fy0 = (miny + 90.0) / w
+    x0 = np.floor(fx0)
+    x0 = np.where(fx0 == x0, x0 - 1, x0)
+    y0 = np.floor(fy0)
+    y0 = np.where(fy0 == y0, y0 - 1, y0)
+    x0 = np.clip(x0, 0, n_side - 1).astype(np.int64)
+    y0 = np.clip(y0, 0, n_side - 1).astype(np.int64)
+    x1 = np.clip(np.floor((maxx + 180.0) / w), 0, n_side - 1).astype(np.int64)
+    y1 = np.clip(np.floor((maxy + 90.0) / w), 0, n_side - 1).astype(np.int64)
+    kx = x1 - x0 + 1
+    ky = y1 - y0 + 1
+    cnt = kx * ky
+    rep = np.repeat(np.arange(len(px)), cnt)
+    offs = np.arange(int(cnt.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ix = x0[rep] + offs // ky[rep]
+    iy = y0[rep] + offs % ky[rep]
+    return rep, grid.pack(res, ix, iy)
+
+
 def _refine_csr(ents: list, starts: np.ndarray, ends: np.ndarray,
                 px0: np.ndarray, py0: np.ndarray) -> np.ndarray:
     """Many-tiny-tiles refine: decompose this batch's (point, tile)
@@ -757,6 +803,23 @@ class SpatialEngine:
         ln = np.where(degen, 1.0, ln)
         cells, first = np.unique(cell, return_index=True)
         cell_ptr = np.append(first, len(cell)).astype(np.int64)
+        # window-run-filtered segment CSR for DISTANCE use (the index
+        # twin of _distance_segs: exact float equality against the
+        # per-tile CLIP_EPS-expanded window identifies closure/bridge
+        # runs, which must never feed a nearest-distance). Raw closed
+        # rings above stay for parity/containment.
+        ntiles = len(cell)
+        tile_of_seg = np.repeat(np.arange(ntiles, dtype=np.int64), seg_len)
+        wx0 = (rect["minx"] - tiler.CLIP_EPS)[tile_of_seg]
+        wy0 = (rect["miny"] - tiler.CLIP_EPS)[tile_of_seg]
+        wx1 = (rect["maxx"] + tiler.CLIP_EPS)[tile_of_seg]
+        wy1 = (rect["maxy"] + tiler.CLIP_EPS)[tile_of_seg]
+        on_win = (((x1 == x2) & ((x1 == wx0) | (x1 == wx1)))
+                  | ((y1 == y2) & ((y1 == wy0) | (y1 == wy1))))
+        fkeep = ~on_win
+        fcnt = np.bincount(tile_of_seg[fkeep], minlength=ntiles)
+        fseg_ptr = np.zeros(ntiles + 1, dtype=np.int64)
+        np.cumsum(fcnt, out=fseg_ptr[1:])
         idx = {
             "cells": cells, "cell_ptr": cell_ptr,
             "region": region, "kind": kind,
@@ -765,6 +828,9 @@ class SpatialEngine:
             "seg_ptr": seg_ptr,
             "X1": x1, "Y1": y1, "X2": x2, "Y2": y2,
             "YDS": yds, "DX": dx, "LN": ln, "DEG": degen,
+            "fseg_ptr": fseg_ptr,
+            "FX1": x1[fkeep], "FY1": y1[fkeep],
+            "FX2": x2[fkeep], "FY2": y2[fkeep],
         }
         bc = self.spark.sparkContext.broadcast(idx)
         bcells = self.spark.createDataFrame(
@@ -1187,56 +1253,34 @@ class SpatialEngine:
             cov_res = max(0, min(base_res,
                                  base_res if cover_res is None else cover_res))
 
+            bidx = (self._boundary_index()
+                    if where is None and cov_res == base_res else None)
+            if bidx is not None:
+                # BROADCAST-INDEX Q2 (the tolerance twin of Q1's
+                # boundary-index refine): no tile bytes ever shuffle —
+                # the only exchanges left are the skinny miss
+                # repartition and _finish_tolerance's min-agg. The
+                # SMJ cover-join below stays the fallback for
+                # `where`-filtered queries and for boundary sets past
+                # the index byte budget (township scale).
+                dists = self._dists_tolerance_index(
+                    misses.repartition(F.col("point_id")), tol_m)
+                return self._finish_tolerance(base_out, dists, k)
+
             def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                # Fully vectorized: the 24-gon circle vertices
-                # (CreateSimpleCircle arithmetic, AreaCityQuery.java:1388-1405)
-                # for ALL points in one (points × 24) broadcast, then the
-                # closed-bbox cell ranges enumerated with repeat/cumsum
-                # arithmetic — no per-row Python on the (potentially
-                # billions-of-docs) miss set.
-                n_side = 1 << cov_res
-                w = grid.cell_width(cov_res)
-                km = tol_m / 1000.0
-                a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
-                ang = np.arange(24) * (360.0 / 24) * (np.pi / 180.0)
-                cosg, sing = np.cos(ang), np.sin(ang)
+                # Fully vectorized 24-gon bbox cover at cov_res — no
+                # per-row Python on the (potentially billions-of-docs)
+                # miss set.
                 for pdf in it:
                     pid = pdf["point_id"].to_numpy()
                     px = pdf["lng"].to_numpy(dtype=np.float64)
                     py = pdf["lat"].to_numpy(dtype=np.float64)
-                    b = np.asarray(distance.haversine(px, py, px + a, py))
-                    c = np.asarray(distance.haversine(px, py, px, py + a))
-                    rb = tol_m / b * a
-                    rc = tol_m / c * a
-                    vx = px[:, None] + rb[:, None] * cosg[None, :]
-                    vy = py[:, None] + rc[:, None] * sing[None, :]
-                    minx, maxx = vx.min(axis=1), vx.max(axis=1)
-                    miny, maxy = vy.min(axis=1), vy.max(axis=1)
-                    # closed-bbox semantics of grid.cover_bbox: a min edge
-                    # exactly on a cell border also includes the neighbour
-                    fx0 = (minx + 180.0) / w
-                    fy0 = (miny + 90.0) / w
-                    x0 = np.floor(fx0)
-                    x0 = np.where(fx0 == x0, x0 - 1, x0)
-                    y0 = np.floor(fy0)
-                    y0 = np.where(fy0 == y0, y0 - 1, y0)
-                    x0 = np.clip(x0, 0, n_side - 1).astype(np.int64)
-                    y0 = np.clip(y0, 0, n_side - 1).astype(np.int64)
-                    x1 = np.clip(np.floor((maxx + 180.0) / w), 0, n_side - 1).astype(np.int64)
-                    y1 = np.clip(np.floor((maxy + 90.0) / w), 0, n_side - 1).astype(np.int64)
-                    kx = x1 - x0 + 1
-                    ky = y1 - y0 + 1
-                    cnt = kx * ky
-                    rep = np.repeat(np.arange(len(pid)), cnt)
-                    offs = np.arange(int(cnt.sum()), dtype=np.int64) \
-                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
-                    ix = x0[rep] + offs // ky[rep]
-                    iy = y0[rep] + offs % ky[rep]
+                    rep, cells = _circle_cell_cover(px, py, tol_m, cov_res)
                     yield pd.DataFrame({
                         "point_id": pid[rep].astype("int64"),
                         "lng": px[rep],
                         "lat": py[rep],
-                        "cell_id": grid.pack(cov_res, ix, iy),
+                        "cell_id": cells,
                     })
 
             # cover_fn explodes every miss ~(tol/cell)²-fold, so its
@@ -1353,6 +1397,138 @@ class SpatialEngine:
 
         dists = cand.mapInPandas(dist_fn, dist_schema)
         return self._finish_tolerance(base_out, dists, k)
+
+    def _dists_tolerance_index(self, misses: DataFrame,
+                               tol_m: float) -> DataFrame:
+        """tolerance>0 distance stage against the broadcast boundary
+        index (≙ the reference's per-feature 24-gon scan,
+        AreaCityQuery.java:102-163, re-expressed as one Arrow pass):
+        a single mapInPandas over the miss set — per-point cover cells
+        enumerated in-kernel (`_circle_cell_cover`), candidate tiles
+        looked up in the index CSR (searchsorted), per-(point, tile)
+        planar-nearest computed FLAT over all (pair, segment) rows
+        (min + first-argmin via reduceat — the exact arithmetic of
+        predicates.nearest_on_segments, over the window-run-filtered
+        segment block), then the same inscribed/escribed radius gates
+        + exact 24-gon test as the join-path dist_fn. Output rows are
+        bit-identical to the cover-join path (checksum-swept); only
+        the plan differs — no tile bytes ever shuffle."""
+        bc, _ = self._boundary_index()
+        base_res = self.base_res
+        tol = float(tol_m)
+        dist_schema = StructType([
+            StructField("point_id", LongType()),
+            StructField("region_id", LongType()),
+            StructField("dist_m", DoubleType()),
+        ])
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            I = bc.value
+            cells_sorted = I["cells"]
+            cell_ptr = I["cell_ptr"]
+            region = I["region"]
+            kind = I["kind"]
+            fptr = I["fseg_ptr"]
+            FX1, FY1 = I["FX1"], I["FY1"]
+            FX2, FY2 = I["FX2"], I["FY2"]
+            ncells = len(cells_sorted)
+            cos_pi24 = np.cos(np.pi / 24)
+            km = tol / 1000.0
+            a = 0.01 if km < 5 else 0.1 if km < 50 else 1.0 if km < 500 else 10.0
+            empty = pd.DataFrame({
+                "point_id": pd.Series([], dtype="int64"),
+                "region_id": pd.Series([], dtype="int64"),
+                "dist_m": pd.Series([], dtype="float64"),
+            })
+            for pdf in it:
+                pid = pdf["point_id"].to_numpy()
+                px = pdf["lng"].to_numpy(dtype=np.float64)
+                py = pdf["lat"].to_numpy(dtype=np.float64)
+                if not len(pid):
+                    yield empty
+                    continue
+                rep, cells = _circle_cell_cover(px, py, tol, base_res)
+                pos = np.searchsorted(cells_sorted, cells)
+                ok = pos < ncells
+                ok[ok] &= cells_sorted[pos[ok]] == cells[ok]
+                rep, pos = rep[ok], pos[ok]
+                t0 = cell_ptr[pos]
+                tcnt = cell_ptr[pos + 1] - t0
+                prep = np.repeat(rep, tcnt)
+                toffs = np.arange(int(tcnt.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(tcnt) - tcnt, tcnt)
+                tix = np.repeat(t0, tcnt) + toffs
+                scnt = fptr[tix + 1] - fptr[tix]
+                # boundary tiles only, and (as dist_fn) skip tiles with
+                # no true-boundary segments after window-run filtering
+                m = (kind[tix] == 0) & (scnt > 0)
+                prep, tix, scnt = prep[m], tix[m], scnt[m]
+                if not len(prep):
+                    yield empty
+                    continue
+                s0 = fptr[tix]
+                srep = np.repeat(np.arange(len(prep), dtype=np.int64), scnt)
+                soffs = np.arange(int(scnt.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(scnt) - scnt, scnt)
+                sidx = np.repeat(s0, scnt) + soffs
+                ax, ay = FX1[sidx], FY1[sidx]
+                bx, by = FX2[sidx], FY2[sidx]
+                dxs, dys = bx - ax, by - ay
+                ln2 = dxs * dxs + dys * dys
+                ln2 = np.where(ln2 == 0, 1.0, ln2)
+                pp = prep[srep]
+                qx = px[pp] - ax
+                qy = py[pp] - ay
+                t = np.clip((qx * dxs + qy * dys) / ln2, 0.0, 1.0)
+                cx = ax + t * dxs
+                cy = ay + t * dys
+                d2 = (px[pp] - cx) ** 2 + (py[pp] - cy) ** 2
+                starts = np.zeros(len(prep), dtype=np.int64)
+                np.cumsum(scnt[:-1], out=starts[1:])
+                dmin2 = np.minimum.reduceat(d2, starts)
+                # first row (in segment order) achieving the min — the
+                # argmin predicates.nearest_on_segments would pick
+                big = np.where(d2 == dmin2[srep], soffs, np.int64(1) << 62)
+                frow = starts + np.minimum.reduceat(big, starts)
+                nx, ny = cx[frow], cy[frow]
+                d_planar = np.sqrt(dmin2)
+                # per-point circle radii — the exact CreateSimpleCircle
+                # step-ladder arithmetic (identical to dist_fn's)
+                b = np.asarray(distance.haversine(px, py, px + a, py))
+                c = np.asarray(distance.haversine(px, py, px, py + a))
+                rb = tol / b * a
+                rc = tol / c * a
+                rmin_p = np.minimum(rb, rc) * cos_pi24
+                rmax_p = np.maximum(rb, rc)
+                definite = d_planar <= rmin_p[prep]
+                impossible = d_planar > rmax_p[prep]
+                keep = definite.copy()
+                for i in np.nonzero(~definite & ~impossible)[0]:
+                    j0 = s0[i]
+                    j1 = j0 + scnt[i]
+                    circ = distance.simple_circle(
+                        px[prep[i]], py[prep[i]], tol, 24)
+                    csegs = predicates.segments_of_rings(
+                        core.all_rings(circ))
+                    keep[i] = bool(
+                        predicates.segs_intersect_segs_any(
+                            FX1[j0:j1], FY1[j0:j1],
+                            FX2[j0:j1], FY2[j0:j1], csegs).any()
+                        or predicates.points_parity(
+                            FX1[j0:j1], FY1[j0:j1], csegs).any())
+                if keep.any():
+                    kp = prep[keep]
+                    d = distance.haversine(nx[keep], ny[keep],
+                                           px[kp], py[kp])
+                    yield pd.DataFrame({
+                        "point_id": pid[kp].astype("int64"),
+                        "region_id": region[tix[keep]],
+                        "dist_m": np.asarray(d, dtype="float64"),
+                    })
+                else:
+                    yield empty
+
+        return misses.mapInPandas(fn, dist_schema)
 
     def _dists_unlimited_iterative(self, misses: DataFrame,
                                    tiles_b: DataFrame, k: int,
