@@ -444,6 +444,95 @@ def _probe_is_rect(g: dict, b: tuple[float, float, float, float]) -> bool:
     return {(float(x), float(y)) for x, y in ring[:4]} == corners
 
 
+def _decompose_probe_batch(pdf: pd.DataFrame):
+    """Columnar Q3 probe decomposition, shared by the cover-join path
+    and the broadcast-index refine. One Arrow batch of (probe_id, wkt)
+    rows becomes flat primitive arrays:
+
+      pkind 1 = axis-aligned rect or point (p0..p3 = bbox; a MULTIPOINT
+      is one degenerate rect per point), pkind 2 = line SEGMENT
+      (p0..p3 = endpoints; every LineString / MultiLineString / polygon
+      ring decomposes into one row per segment — each segment's own
+      bbox cover is far tighter than the whole geometry's), pkind 3 =
+      one containment row per polygonal member (carries WKT; catches
+      tile⊂probe when no boundary crossing exists), pkind 0 =
+      unrecognized shape (exact pairwise fallback — unreachable for
+      codec-parsed WKT, kept defensively). GEOMETRYCOLLECTION flattens
+      into its members (JTS `intersects` over a collection = union of
+      member hits; ≙ WKTReader-accepts-anything,
+      /root/reference/AreaCityQuery.java:175-179). Segment extraction
+      is numpy per ring/line (hstack of shifted views) — no per-segment
+      Python.
+
+    Returns (pid_a, kind_a, p_a(k,4), wkt_a(object), bb_a(k,4)) or
+    None when the batch decomposes to zero primitive rows."""
+    r_pid: list[np.ndarray] = []
+    r_kind: list[np.ndarray] = []
+    r_p: list[np.ndarray] = []    # (k,4) p0..p3 payloads
+    r_wkt: list[np.ndarray] = []  # object, None for kinds 1/2
+    r_bb: list[np.ndarray] = []   # (k,4) cover bboxes
+
+    def add(pid, pk, pvals, bb, wout=None):
+        k = len(pvals)
+        if k == 0:
+            return
+        r_pid.append(np.full(k, pid, dtype=np.int64))
+        r_kind.append(np.full(k, pk, dtype=np.int64))
+        r_p.append(np.asarray(pvals, dtype=np.float64))
+        w_arr = np.empty(k, dtype=object)
+        w_arr[:] = wout
+        r_wkt.append(w_arr)
+        r_bb.append(np.asarray(bb, dtype=np.float64))
+
+    def seg_rows(pid, lines):
+        segs = [np.hstack([l[:-1], l[1:]])
+                for l in lines if len(l) >= 2]
+        if not segs:
+            return
+        sv = np.vstack(segs)
+        bb = np.column_stack([
+            np.minimum(sv[:, 0], sv[:, 2]),
+            np.minimum(sv[:, 1], sv[:, 3]),
+            np.maximum(sv[:, 0], sv[:, 2]),
+            np.maximum(sv[:, 1], sv[:, 3])])
+        add(pid, 2, sv, bb)
+
+    for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
+        root = wkt_codec.loads(w_)
+        for g in core.flatten(root):
+            if core.is_empty(g):
+                continue
+            pid_i = int(pid)
+            b = core.bounds(g)
+            t = g["type"]
+            if t == "MultiPoint":
+                xy = np.asarray(g["xy"], dtype=np.float64)
+                pv = np.hstack([xy, xy])
+                add(pid_i, 1, pv, pv)
+            elif _probe_is_rect(g, b):
+                pv = np.array([b], dtype=np.float64)
+                add(pid_i, 1, pv, pv)
+            elif t in ("LineString", "MultiLineString"):
+                seg_rows(pid_i, [g["xy"]] if t == "LineString"
+                         else g["lines"])
+            elif t in ("Polygon", "MultiPolygon"):
+                seg_rows(pid_i, core.all_rings(g))
+                pv = np.array([b], dtype=np.float64)
+                # collection members re-dump so the refine's
+                # WKT-keyed probe cache sees ONE member each
+                add(pid_i, 3, pv, pv,
+                    wkt_codec.dumps(g)
+                    if root["type"] == "GeometryCollection"
+                    else w_)
+            else:
+                pv = np.array([b], dtype=np.float64)
+                add(pid_i, 0, pv, pv, wkt_codec.dumps(g))
+    if not r_pid:
+        return None
+    return (np.concatenate(r_pid), np.concatenate(r_kind),
+            np.vstack(r_p), np.concatenate(r_wkt), np.vstack(r_bb))
+
+
 def _dissolve_cells(cell_ids: np.ndarray) -> list[list[np.ndarray]]:
     """Union same-resolution grid cells into polygon rings by cancelling
     shared edges (each interior edge appears twice with opposite
@@ -510,6 +599,7 @@ class SpatialEngine:
         boundary_broadcast_rows: int = 1_500_000,
         boundary_index_wkb_bytes: int = 128 << 20,
         broadcast_wkb_budget: int = 128 << 20,
+        interior_index_rows: int = 12_000_000,
     ):
         """broadcast_tiles: "auto" (default) resolves LAZILY from the
         tile table's own statistics at first query: whole-table
@@ -560,7 +650,16 @@ class SpatialEngine:
         same in-memory-index regime the reference runs its whole
         process in. Past the budget the boundary leg falls back to the
         join-based refine (broadcast or salted SMJ per the row
-        ceilings). 0 disables the index path."""
+        ceilings). 0 disables the index path.
+
+        interior_index_rows: row ceiling for the INTERIOR (kind=1)
+        cell→region CSR broadcast that the Q3 geometry-intersects
+        index path needs alongside the boundary index. Interior rows
+        are 16 bytes each ((cell_id, region_id) — rects reconstruct
+        from the cell id), so the 12M default matches
+        `interior_broadcast_rows`' ~200MB-once-per-executor budget.
+        Past the ceiling Q3 falls back to the cover-join plan. 0
+        disables."""
         self.spark = spark
         self.boundaries = boundaries
         self.tiles = tiles
@@ -574,9 +673,12 @@ class SpatialEngine:
         self.boundary_broadcast_rows = boundary_broadcast_rows
         self.boundary_index_wkb_bytes = boundary_index_wkb_bytes
         self.broadcast_wkb_budget = broadcast_wkb_budget
+        self.interior_index_rows = interior_index_rows
         self._kind_counts: dict[int, int] | None = None
         self._bindex: tuple | None = None  # (Broadcast, bcells_df)
         self._bindex_off = False
+        self._iindex = None  # Broadcast of the interior-cell CSR
+        self._iindex_off = False
         # QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604):
         # build-phase metadata, populated by from_geojson / tile_store.load
         self._init_meta: dict = {}
@@ -837,6 +939,37 @@ class SpatialEngine:
             pd.DataFrame({"cell_id": cells})).localCheckpoint(eager=True)
         self._bindex = (bc, bcells)
         return self._bindex
+
+    def _interior_index(self):
+        """Build (once, lazily) the broadcast INTERIOR-cell index: every
+        kind=1 (whole-cell) tile as a sorted-cell CSR of region ids,
+        plus each unique cell's rect (reconstructed via
+        grid.cells_bounds — interior tiles are stored one row per
+        BASE-res cell with rect == cell rect, tiler.push). The Q3
+        index path needs it because `_boundary_index` deliberately
+        holds only kind≠1 tiles (Q1/Q2 resolve interiors JVM-side).
+        Returns the Broadcast or None when the interior row count
+        exceeds `interior_index_rows` (Q3 then keeps the join plan)."""
+        if self._iindex is not None:
+            return self._iindex
+        if self._iindex_off or self.interior_index_rows <= 0:
+            return None
+        if self._tile_kind_counts()[0] > self.interior_index_rows:
+            self._iindex_off = True
+            return None
+        pdf = (self.tiles.filter(F.col("kind") == 1)
+               .select("cell_id", "region_id").toPandas())
+        cell = pdf["cell_id"].to_numpy().astype(np.int64)
+        region = pdf["region_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((region, cell))
+        cell, region = cell[order], region[order]
+        cells, first = np.unique(cell, return_index=True)
+        cell_ptr = np.append(first, len(cell)).astype(np.int64)
+        cx0, cy0, cx1, cy1 = grid.cells_bounds(cells)
+        idx = {"cells": cells, "cell_ptr": cell_ptr, "region": region,
+               "cx0": cx0, "cy0": cy0, "cx1": cx1, "cy1": cy1}
+        self._iindex = self.spark.sparkContext.broadcast(idx)
+        return self._iindex
 
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",
@@ -1989,6 +2122,263 @@ class SpatialEngine:
 
     # ---------------------------------------------------------- Q3
 
+    def _geometry_index_refine(self, probes: DataFrame) -> DataFrame:
+        """Q3 against the broadcast indexes — zero-shuffle
+        geometry-intersects: ONE mapInPandas over the probe table.
+        Per Arrow batch: probes decompose into columnar primitives
+        (_decompose_probe_batch), cover cells enumerate in-kernel
+        (grid.cover_bboxes), candidate tiles come from the boundary
+        CSR (`_boundary_index`, kind 0/2 — pre-decoded segments, no
+        per-task WKB decode) and the interior CSR (`_interior_index`,
+        kind 1), and the SAME predicate kernels as the cover-join
+        refine decide hits (filtered segments for crossing/touch, raw
+        closed rings for parity/containment — see _tile_groups). A
+        probe's primitives never leave their batch, so (probe_id,
+        region_id) dedup is LOCAL — the join path's global
+        dropDuplicates exchange disappears along with the cover
+        shuffle. Output set is identical to the join path
+        (tests/test_q3_index_parity.py sweeps real province geometry).
+        """
+        bc, _ = self._boundary_index()
+        bi = self._interior_index()
+        base_res = self.base_res
+        schema = StructType([StructField("probe_id", LongType()),
+                             StructField("region_id", LongType())])
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            I = bc.value
+            J = bi.value
+            bcells, bptr = I["cells"], I["cell_ptr"]
+            tregion, tkind = I["region"], I["kind"]
+            tmnx, tmny = I["minx"], I["miny"]
+            tmxx, tmxy = I["maxx"], I["maxy"]
+            sptr, fptr = I["seg_ptr"], I["fseg_ptr"]
+            X1, Y1 = I["X1"], I["Y1"]
+            FX1, FY1 = I["FX1"], I["FY1"]
+            icells, iptr, iregion = J["cells"], J["cell_ptr"], J["region"]
+            icx0, icy0, icx1, icy1 = J["cx0"], J["cy0"], J["cx1"], J["cy1"]
+            seg_cache: dict[int, tuple] = {}  # tile idx → (raw, filtered)
+            probe_cache: dict = {}
+            empty = pd.DataFrame({
+                "probe_id": pd.Series([], dtype="int64"),
+                "region_id": pd.Series([], dtype="int64"),
+            })
+
+            def tile_segs(t: int) -> tuple:
+                ent = seg_cache.get(t)
+                if ent is None:
+                    r0, r1 = sptr[t], sptr[t + 1]
+                    f0, f1 = fptr[t], fptr[t + 1]
+                    raw = np.column_stack((I["X1"][r0:r1], I["Y1"][r0:r1],
+                                           I["X2"][r0:r1], I["Y2"][r0:r1]))
+                    flt = np.column_stack((I["FX1"][f0:f1], I["FY1"][f0:f1],
+                                           I["FX2"][f0:f1], I["FY2"][f0:f1]))
+                    ent = seg_cache[t] = (raw, flt)
+                return ent
+
+            def probe_segs(wkt0: str) -> np.ndarray:
+                ent = probe_cache.get(("segs", wkt0))
+                if ent is None:
+                    g = probe_cache.get(wkt0)
+                    if g is None:
+                        g = probe_cache[wkt0] = wkt_codec.loads(wkt0)
+                    ent = predicates.segments_of_rings(core.all_rings(g))
+                    probe_cache[("segs", wkt0)] = ent
+                return ent
+
+            def contain_hits(rows3, px_t, py_t, wkt_c, hit, sel3):
+                """pkind-3 rows → probe-polygon parity tests, grouped by
+                member WKT text (a GEOMETRYCOLLECTION probe emits one
+                row per polygonal member)."""
+                order = np.argsort(wkt_c, kind="stable")
+                sw = wkt_c[order]
+                starts = np.nonzero(np.r_[True, sw[1:] != sw[:-1]])[0]
+                ends = np.append(starts[1:], len(wkt_c))
+                for s0, s1 in zip(starts, ends):
+                    rows_o = order[s0:s1]
+                    ent = probe_segs(wkt_c[rows_o[0]])
+                    sel = rows_o[rows3[rows_o]]
+                    if len(sel) and len(ent):
+                        hit[sel3[sel]] = predicates.points_intersect_prepared(
+                            px_t[sel], py_t[sel], ent)
+
+            for pdf in it:
+                dec = _decompose_probe_batch(pdf)
+                if dec is None:
+                    yield empty
+                    continue
+                pid_a, kind_a, p_a, wkt_a, bb_a = dec
+                if (kind_a == 0).any():
+                    # unreachable: wkt.loads rejects any type that does
+                    # not decompose to kinds 1/2/3 — kept as a loud
+                    # guard (the cover-join path carries the pairwise
+                    # fallback; disable the index to route there)
+                    raise ValueError(
+                        "Q3 index path met an undecomposable probe; "
+                        "set boundary_index_wkb_bytes=0 to use the "
+                        "cover-join fallback")
+                rep, cid = grid.cover_bboxes(
+                    bb_a[:, 0], bb_a[:, 1], bb_a[:, 2], bb_a[:, 3], base_res)
+                hit_pids: list[np.ndarray] = []
+                hit_regs: list[np.ndarray] = []
+
+                # ---------- boundary-index candidates (kind 0/2 tiles)
+                pos = np.searchsorted(bcells, cid)
+                ok = pos < len(bcells)
+                ok[ok] &= bcells[pos[ok]] == cid[ok]
+                brep, bpos = rep[ok], pos[ok]
+                t0 = bptr[bpos]
+                tcnt = bptr[bpos + 1] - t0
+                prep = np.repeat(brep, tcnt)
+                pcell = np.repeat(bpos, tcnt)
+                toffs = np.arange(int(tcnt.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(tcnt) - tcnt, tcnt)
+                tix = np.repeat(t0, tcnt) + toffs
+                if len(prep):
+                    pk = kind_a[prep]
+                    tk = tkind[tix]
+                    hit = np.zeros(len(prep), dtype=bool)
+                    # rect/pt probe × interior-subcell tile: one closed
+                    # bbox-overlap test (boundary touch counts)
+                    m = (pk == 1) & (tk == 2)
+                    if m.any():
+                        pm, tm = prep[m], tix[m]
+                        hit[m] = ((p_a[pm, 0] <= tmxx[tm])
+                                  & (p_a[pm, 2] >= tmnx[tm])
+                                  & (p_a[pm, 1] <= tmxy[tm])
+                                  & (p_a[pm, 3] >= tmny[tm]))
+                    # seg probe × interior-subcell tile: exact kernel
+                    m = (pk == 2) & (tk == 2)
+                    if m.any():
+                        pm, tm = prep[m], tix[m]
+                        hit[m] = predicates.segs_intersect_rects(
+                            p_a[pm, 0], p_a[pm, 1], p_a[pm, 2], p_a[pm, 3],
+                            tmnx[tm], tmny[tm], tmxx[tm], tmxy[tm])
+                    # rect/seg probe × boundary tile: grouped per tile,
+                    # same kernels as the join refine (_tile_groups)
+                    sel = np.nonzero((tk == 0) & (pk != 3))[0]
+                    if len(sel):
+                        o = sel[np.argsort(tix[sel], kind="stable")]
+                        tso = tix[o]
+                        starts = np.nonzero(
+                            np.r_[True, tso[1:] != tso[:-1]])[0]
+                        ends = np.append(starts[1:], len(o))
+                        po = prep[o]
+                        a0, a1 = p_a[po, 0], p_a[po, 1]
+                        a2, a3 = p_a[po, 2], p_a[po, 3]
+                        pko = pk[o]
+                        hv = np.zeros(len(o), dtype=bool)
+                        for s0, s1 in zip(starts, ends):
+                            raw, flt = tile_segs(int(tso[s0]))
+                            seg_sel = np.arange(s0, s1)
+                            mrect = pko[seg_sel] == 1
+                            if mrect.any():
+                                rr = seg_sel[mrect]
+                                touch = predicates.segments_in_cells(
+                                    flt, a0[rr], a1[rr], a2[rr], a3[rr])
+                                inside = predicates.points_intersect_prepared(
+                                    a0[rr], a1[rr], raw)
+                                hv[rr] = touch | inside
+                            if (~mrect).any():
+                                ss = seg_sel[~mrect]
+                                cross = predicates.segs_intersect_segs_any(
+                                    a0[ss], a1[ss], a2[ss], a3[ss], flt)
+                                inside = predicates.points_intersect_prepared(
+                                    a0[ss], a1[ss], raw)
+                                hv[ss] = cross | inside
+                        hit[o] = hv
+                    # containment rows × boundary-index tiles: one
+                    # representative per (prim, cell, region) — pairs
+                    # are prim-major / cell-contiguous / region-sorted,
+                    # so a consecutive-diff dedup matches the join
+                    # path's per-(cell, region) tile dedup
+                    sel3 = np.nonzero(pk == 3)[0]
+                    if len(sel3):
+                        pr3, pc3 = prep[sel3], pcell[sel3]
+                        rg3 = tregion[tix[sel3]]
+                        first = np.r_[True, (np.diff(pr3) != 0)
+                                      | (np.diff(pc3) != 0)
+                                      | (np.diff(rg3) != 0)]
+                        sel3 = sel3[first]
+                        t3 = tix[sel3]
+                        # representative point: prefer a TRUE boundary
+                        # vertex (window runs can sit eps outside the
+                        # region); fall back to the raw ring; kind-2
+                        # sub-cells use their rect corner (inside the
+                        # region by construction)
+                        px_t = tmnx[t3].copy()
+                        py_t = tmny[t3].copy()
+                        mr = (sptr[t3 + 1] - sptr[t3]) > 0
+                        if mr.any():
+                            px_t[mr] = X1[sptr[t3[mr]]]
+                            py_t[mr] = Y1[sptr[t3[mr]]]
+                        mf = (fptr[t3 + 1] - fptr[t3]) > 0
+                        if mf.any():
+                            px_t[mf] = FX1[fptr[t3[mf]]]
+                            py_t[mf] = FY1[fptr[t3[mf]]]
+                        ok_t = mr | mf | (tkind[t3] == 2)
+                        contain_hits(ok_t, px_t, py_t,
+                                     wkt_a[prep[sel3]], hit, sel3)
+                    hm = np.nonzero(hit)[0]
+                    if len(hm):
+                        hit_pids.append(pid_a[prep[hm]])
+                        hit_regs.append(tregion[tix[hm]])
+
+                # ---------- interior-index candidates (kind 1 tiles,
+                # rect == base cell rect — tiler.push stores interiors
+                # one row per base cell)
+                ipos = np.searchsorted(icells, cid)
+                iok = ipos < len(icells)
+                iok[iok] &= icells[ipos[iok]] == cid[iok]
+                irep, islot = rep[iok], ipos[iok]
+                r0 = iptr[islot]
+                rcnt = iptr[islot + 1] - r0
+                iprep = np.repeat(irep, rcnt)
+                islot2 = np.repeat(islot, rcnt)
+                roffs = np.arange(int(rcnt.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(rcnt) - rcnt, rcnt)
+                irx = np.repeat(r0, rcnt) + roffs
+                if len(iprep):
+                    pk = kind_a[iprep]
+                    rx0, ry0 = icx0[islot2], icy0[islot2]
+                    rx1, ry1 = icx1[islot2], icy1[islot2]
+                    ihit = np.zeros(len(iprep), dtype=bool)
+                    m = pk == 1
+                    if m.any():
+                        pm = iprep[m]
+                        ihit[m] = ((p_a[pm, 0] <= rx1[m])
+                                   & (p_a[pm, 2] >= rx0[m])
+                                   & (p_a[pm, 1] <= ry1[m])
+                                   & (p_a[pm, 3] >= ry0[m]))
+                    m = pk == 2
+                    if m.any():
+                        pm = iprep[m]
+                        ihit[m] = predicates.segs_intersect_rects(
+                            p_a[pm, 0], p_a[pm, 1], p_a[pm, 2], p_a[pm, 3],
+                            rx0[m], ry0[m], rx1[m], ry1[m])
+                    m3 = np.nonzero(pk == 3)[0]
+                    if len(m3):
+                        contain_hits(np.ones(len(m3), dtype=bool),
+                                     rx0[m3], ry0[m3],
+                                     wkt_a[iprep[m3]], ihit, m3)
+                    hm = np.nonzero(ihit)[0]
+                    if len(hm):
+                        hit_pids.append(pid_a[iprep[hm]])
+                        hit_regs.append(iregion[irx[hm]])
+
+                if not hit_pids:
+                    yield empty
+                    continue
+                hp = np.concatenate(hit_pids)
+                hg = np.concatenate(hit_regs)
+                order = np.lexsort((hg, hp))
+                hp, hg = hp[order], hg[order]
+                keep = np.r_[True, (np.diff(hp) != 0) | (np.diff(hg) != 0)]
+                yield pd.DataFrame({"probe_id": hp[keep].astype("int64"),
+                                    "region_id": hg[keep].astype("int64")})
+
+        return probes.select("probe_id", "wkt").mapInPandas(fn, schema)
+
     def query_geometry(self, probes: DataFrame, where: str | None = None,
                        with_props: bool = True,
                        return_wkt_key: str | None = None) -> DataFrame:
@@ -1997,7 +2387,19 @@ class SpatialEngine:
         (probe_id long, wkt string); any POINT/LINESTRING/POLYGON/
         MULTIPOLYGON probe. Returns (probe_id, region_id [, props])
         for every boundary the probe intersects (boundary-touch counts).
+
+        Unfiltered queries against an index-budget boundary set take
+        the BROADCAST-INDEX refine (`_geometry_index_refine`) — zero
+        shuffle Exchanges, no per-task WKB decode, local dedup.
+        `where`-filtered or past-budget sets run the cover-join plan
+        below (the index holds every tile, so filters must join).
         """
+        if where is None and self._boundary_index() is not None \
+                and self._interior_index() is not None:
+            matches = self._geometry_index_refine(probes)
+            if not with_props:
+                return matches
+            return self._with_props(matches, return_wkt_key=return_wkt_key)
         base_res = self.base_res
         cover_schema = StructType([
             StructField("probe_id", LongType()),
@@ -2011,85 +2413,14 @@ class SpatialEngine:
         ])
 
         def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # Probe classification: pkind 1 = axis-aligned rect or point
-            # (p0..p3 = bbox; a MULTIPOINT is one degenerate rect per
-            # point), pkind 2 = line SEGMENT (p0..p3 = endpoints; every
-            # LineString / MultiLineString / polygon ring decomposes
-            # into one row per segment — each segment's own bbox cover
-            # is far tighter than the whole geometry's), pkind 3 = one
-            # containment row per polygonal member (carries WKT; catches
-            # tile⊂probe when no boundary crossing exists), pkind 0 =
-            # unrecognized shape (exact pairwise fallback).
-            # GEOMETRYCOLLECTION flattens into its members (JTS
-            # `intersects` over a collection = union of member hits;
-            # ≙ WKTReader-accepts-anything, AreaCityQuery.java:175-179).
-            # Kinds 1/2 run through columnar kernels and ship 4 doubles,
-            # never WKT. Segment extraction is numpy per ring/line
-            # (hstack of shifted views) and cell cover is ONE vectorized
-            # cover_bboxes call per Arrow batch — no per-segment Python.
+            # Probe classification lives in _decompose_probe_batch
+            # (shared with the broadcast-index refine). Kinds 1/2 run
+            # through columnar kernels and ship 4 doubles, never WKT;
+            # cell cover is ONE vectorized cover_bboxes call per Arrow
+            # batch — no per-segment Python.
             for pdf in it:
-                r_pid: list[np.ndarray] = []
-                r_kind: list[np.ndarray] = []
-                r_p: list[np.ndarray] = []    # (k,4) p0..p3 payloads
-                r_wkt: list[np.ndarray] = []  # object, None for kinds 1/2
-                r_bb: list[np.ndarray] = []   # (k,4) cover bboxes
-
-                def add(pid, pk, pvals, bb, wout=None):
-                    k = len(pvals)
-                    if k == 0:
-                        return
-                    r_pid.append(np.full(k, pid, dtype=np.int64))
-                    r_kind.append(np.full(k, pk, dtype=np.int64))
-                    r_p.append(np.asarray(pvals, dtype=np.float64))
-                    w_arr = np.empty(k, dtype=object)
-                    w_arr[:] = wout
-                    r_wkt.append(w_arr)
-                    r_bb.append(np.asarray(bb, dtype=np.float64))
-
-                def seg_rows(pid, lines):
-                    segs = [np.hstack([l[:-1], l[1:]])
-                            for l in lines if len(l) >= 2]
-                    if not segs:
-                        return
-                    sv = np.vstack(segs)
-                    bb = np.column_stack([
-                        np.minimum(sv[:, 0], sv[:, 2]),
-                        np.minimum(sv[:, 1], sv[:, 3]),
-                        np.maximum(sv[:, 0], sv[:, 2]),
-                        np.maximum(sv[:, 1], sv[:, 3])])
-                    add(pid, 2, sv, bb)
-
-                for pid, w_ in zip(pdf["probe_id"], pdf["wkt"]):
-                    root = wkt_codec.loads(w_)
-                    for g in core.flatten(root):
-                        if core.is_empty(g):
-                            continue
-                        pid_i = int(pid)
-                        b = core.bounds(g)
-                        t = g["type"]
-                        if t == "MultiPoint":
-                            xy = np.asarray(g["xy"], dtype=np.float64)
-                            pv = np.hstack([xy, xy])
-                            add(pid_i, 1, pv, pv)
-                        elif _probe_is_rect(g, b):
-                            pv = np.array([b], dtype=np.float64)
-                            add(pid_i, 1, pv, pv)
-                        elif t in ("LineString", "MultiLineString"):
-                            seg_rows(pid_i, [g["xy"]] if t == "LineString"
-                                     else g["lines"])
-                        elif t in ("Polygon", "MultiPolygon"):
-                            seg_rows(pid_i, core.all_rings(g))
-                            pv = np.array([b], dtype=np.float64)
-                            # collection members re-dump so the refine's
-                            # WKT-keyed probe cache sees ONE member each
-                            add(pid_i, 3, pv, pv,
-                                wkt_codec.dumps(g)
-                                if root["type"] == "GeometryCollection"
-                                else w_)
-                        else:
-                            pv = np.array([b], dtype=np.float64)
-                            add(pid_i, 0, pv, pv, wkt_codec.dumps(g))
-                if not r_pid:
+                dec = _decompose_probe_batch(pdf)
+                if dec is None:
                     yield pd.DataFrame({
                         "probe_id": pd.Series([], dtype="int64"),
                         "p0": pd.Series([], dtype="float64"),
@@ -2101,11 +2432,7 @@ class SpatialEngine:
                         "cell_id": pd.Series([], dtype="int64"),
                     })
                     continue
-                pid_a = np.concatenate(r_pid)
-                kind_a = np.concatenate(r_kind)
-                p_a = np.vstack(r_p)
-                wkt_a = np.concatenate(r_wkt)
-                bb_a = np.vstack(r_bb)
+                pid_a, kind_a, p_a, wkt_a, bb_a = dec
                 rep, cid = grid.cover_bboxes(
                     bb_a[:, 0], bb_a[:, 1], bb_a[:, 2], bb_a[:, 3], base_res)
                 yield pd.DataFrame({
