@@ -87,6 +87,26 @@ def test_where_filter_takes_join_path(spark, province_engine):
     assert names == {"广东省"}
 
 
+def test_interior_budget_fallback(spark, province_engine):
+    # past the interior-index row ceiling Q3 must keep the cover-join
+    # plan (the index path needs BOTH CSRs) — and return the same hits
+    eng = province_engine
+    probes = spark.createDataFrame(
+        [(0, "POLYGON ((100 25, 106 25, 106 31, 100 31, 100 25))")],
+        "probe_id long, wkt string")
+    with_index = _checksums(eng, probes)
+    saved = (eng._iindex, eng._iindex_off)
+    try:
+        eng._iindex, eng._iindex_off = None, True
+        plan = eng.query_geometry(probes, with_props=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, \
+            "fallback must run the cover-join plan"
+        assert _checksums(eng, probes) == with_index
+    finally:
+        eng._iindex, eng._iindex_off = saved
+
+
 def test_empty_and_miss_probes(spark, province_engine):
     eng = province_engine
     probes = spark.createDataFrame(
