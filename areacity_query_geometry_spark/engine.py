@@ -122,6 +122,69 @@ def _circle_cell_cover(px: np.ndarray, py: np.ndarray,
     return rep, grid.pack(res, ix, iy)
 
 
+_C24, _S24 = distance.circle_dirs(24)
+
+
+def _ambiguous_circle_keep(ppx, ppy, prb, prc,
+                           seg_x1, seg_y1, seg_x2, seg_y2,
+                           seg_start, seg_cnt,
+                           block: int = 4096) -> np.ndarray:
+    """Vectorized twin of the per-row 24-gon escape test the tolerance
+    kernels used to run in a Python loop (one simple_circle +
+    segs_intersect_segs_any + points_parity per razor-edge candidate):
+    for each ambiguous (point, tile) row — planar nearest distance
+    between the inscribed and escribed circle radii — decide whether
+    the point's 24-gon ACTUALLY touches the tile's true-boundary
+    segments: any gon-segment × tile-segment intersection, OR any tile
+    vertex strictly inside the gon (even-odd parity).
+
+    Bit-identical to the loop by construction: gon vertices are
+    `lng + rb*cos, lat + rc*sin` over distance.circle_dirs' math.cos/
+    math.sin table (simple_circle's own float step-loop), the crossing
+    test is the same predicates._pair_seg_intersect orientation
+    arithmetic, and the parity test is _parity_dense's expression
+    (div-guarded xint, half-open rule, sum % 2).
+
+    ppx/ppy/prb/prc: per-row point coords and per-axis degree radii;
+    seg_start/seg_cnt: per-row CSR slice into the flat seg arrays.
+    Processes `block` rows at a time to bound the (T, 24) temporaries.
+    """
+    n = len(ppx)
+    out = np.zeros(n, dtype=bool)
+    for b0 in range(0, n, block):
+        sl = slice(b0, min(b0 + block, n))
+        sc = seg_cnt[sl]
+        T = int(sc.sum())
+        if T == 0:
+            continue
+        rowp = np.repeat(np.arange(len(sc), dtype=np.int64), sc)
+        offs = np.arange(T, dtype=np.int64) \
+            - np.repeat(np.cumsum(sc) - sc, sc)
+        tsi = np.repeat(seg_start[sl], sc) + offs
+        # 24-gon segments of each row's circle, gathered per tile-seg
+        gx = ppx[sl][:, None] + prb[sl][:, None] * _C24[None, :]
+        gy = ppy[sl][:, None] + prc[sl][:, None] * _S24[None, :]
+        bx1, by1 = gx[rowp, :24], gy[rowp, :24]
+        bx2, by2 = gx[rowp, 1:], gy[rowp, 1:]
+        ax1 = seg_x1[tsi][:, None]
+        ay1 = seg_y1[tsi][:, None]
+        ax2 = seg_x2[tsi][:, None]
+        ay2 = seg_y2[tsi][:, None]
+        cross = predicates._pair_seg_intersect(
+            ax1, ay1, ax2, ay2, bx1, by1, bx2, by2).any(axis=1)
+        # parity of the tile segment's START vertex vs the gon
+        # (_parity_dense arithmetic, gon segs on axis 1)
+        ydg = by2 - by1
+        yd_safe = np.where(ydg == 0, 1.0, ydg)
+        cond = (by1 > ay1) != (by2 > ay1)
+        xint = bx1 + (ay1 - by1) / yd_safe * (bx2 - bx1)
+        par = ((cond & (ax1 < xint)).sum(axis=1) % 2).astype(bool)
+        hit = np.bincount(rowp, weights=(cross | par).astype(np.float64),
+                          minlength=len(sc))
+        out[sl] = hit > 0
+    return out
+
+
 def _refine_csr(ents: list, starts: np.ndarray, ends: np.ndarray,
                 px0: np.ndarray, py0: np.ndarray) -> np.ndarray:
     """Many-tiny-tiles refine: decompose this batch's (point, tile)
@@ -1493,7 +1556,8 @@ class SpatialEngine:
                         definite = d_planar <= rmin
                         impossible = d_planar > rmax
                         keep = definite.copy()
-                        for i in np.nonzero(~definite & ~impossible)[0]:
+                        amb = np.nonzero(~definite & ~impossible)[0]
+                        if len(amb):
                             # 24-gon vs the FILTERED piece boundary: the
                             # probe is outside every candidate region
                             # (it missed Q1 under the same `where`), so
@@ -1501,15 +1565,15 @@ class SpatialEngine:
                             # true boundary — and g's window/bridge runs
                             # must not vote (same artifact as the
                             # distance itself, see _distance_segs)
-                            circ = distance.simple_circle(px[i], py[i], tol, 24)
-                            csegs = predicates.segments_of_rings(
-                                core.all_rings(circ))
-                            keep[i] = bool(
-                                predicates.segs_intersect_segs_any(
-                                    segs[:, 0], segs[:, 1],
-                                    segs[:, 2], segs[:, 3], csegs).any()
-                                or predicates.points_parity(
-                                    segs[:, 0], segs[:, 1], csegs).any())
+                            keep[amb] = _ambiguous_circle_keep(
+                                px[amb], py[amb], rb[amb], rc[amb],
+                                np.ascontiguousarray(segs[:, 0]),
+                                np.ascontiguousarray(segs[:, 1]),
+                                np.ascontiguousarray(segs[:, 2]),
+                                np.ascontiguousarray(segs[:, 3]),
+                                np.zeros(len(amb), dtype=np.int64),
+                                np.full(len(amb), len(segs),
+                                        dtype=np.int64))
                     if keep.any():
                         d = distance.haversine(nx[keep], ny[keep], px[keep], py[keep])
                         pids.append(grp["point_id"].to_numpy()[keep])
@@ -1636,19 +1700,12 @@ class SpatialEngine:
                 definite = d_planar <= rmin_p[prep]
                 impossible = d_planar > rmax_p[prep]
                 keep = definite.copy()
-                for i in np.nonzero(~definite & ~impossible)[0]:
-                    j0 = s0[i]
-                    j1 = j0 + scnt[i]
-                    circ = distance.simple_circle(
-                        px[prep[i]], py[prep[i]], tol, 24)
-                    csegs = predicates.segments_of_rings(
-                        core.all_rings(circ))
-                    keep[i] = bool(
-                        predicates.segs_intersect_segs_any(
-                            FX1[j0:j1], FY1[j0:j1],
-                            FX2[j0:j1], FY2[j0:j1], csegs).any()
-                        or predicates.points_parity(
-                            FX1[j0:j1], FY1[j0:j1], csegs).any())
+                amb = np.nonzero(~definite & ~impossible)[0]
+                if len(amb):
+                    pa = prep[amb]
+                    keep[amb] = _ambiguous_circle_keep(
+                        px[pa], py[pa], rb[pa], rc[pa],
+                        FX1, FY1, FX2, FY2, s0[amb], scnt[amb])
                 if keep.any():
                     kp = prep[keep]
                     d = distance.haversine(nx[keep], ny[keep],

@@ -61,6 +61,28 @@ def simple_circle(lng: float, lat: float, radius_m: float, point_count: int = 24
     return {"type": "Polygon", "rings": [arr]}
 
 
+def circle_dirs(point_count: int = 24) -> tuple[np.ndarray, np.ndarray]:
+    """simple_circle's direction table: (cos, sin) per vertex of the
+    CLOSED ring, computed with the identical math.cos/math.sin float
+    step-loop — so vectorized callers reconstruct simple_circle's
+    vertices bit-for-bit as `lng + rb*cos, lat + rc*sin` (the batched
+    24-gon escape test in engine's tolerance kernels)."""
+    cs = np.zeros(point_count + 1, dtype=np.float64)
+    sn = np.zeros(point_count + 1, dtype=np.float64)
+    step = 360.0 / point_count
+    big_n = 360.0 - step / 2.0
+    n = 0.0
+    i = 0
+    while n < big_n:
+        cs[i] = math.cos(n * math.pi / 180.0)
+        sn[i] = math.sin(n * math.pi / 180.0)
+        i += 1
+        n += step
+    cs[point_count] = cs[0]
+    sn[point_count] = sn[0]
+    return cs, sn
+
+
 def rect(lng1: float, lat1: float, lng2: float, lat2: float) -> dict:
     return core.polygon(
         [(lng1, lat1), (lng1, lat2), (lng2, lat2), (lng2, lat1), (lng1, lat1)]
