@@ -125,6 +125,17 @@ def _circle_cell_cover(px: np.ndarray, py: np.ndarray,
 _C24, _S24 = distance.circle_dirs(24)
 
 
+def _in_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of int64 `vals` in a SORTED int64 array — the
+    kernel-side twin of the join paths' LEFT SEMI region filter
+    (searchsorted, no hashing)."""
+    if len(sorted_arr) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    np.clip(pos, 0, len(sorted_arr) - 1, out=pos)
+    return sorted_arr[pos] == vals
+
+
 def _ambiguous_circle_keep(ppx, ppy, prb, prc,
                            seg_x1, seg_y1, seg_x2, seg_y2,
                            seg_start, seg_cnt,
@@ -389,7 +400,8 @@ def _make_refine_fn(id_cols: tuple[str, ...]):
     return _refine_point_batches
 
 
-def _make_index_refine_fn(id_cols: tuple[str, ...], bc):
+def _make_index_refine_fn(id_cols: tuple[str, ...], bc,
+                          keep: np.ndarray | None = None):
     """Boundary refine against a BROADCAST pre-decoded tile index — the
     100-TB shape of the Q1 boundary leg. The join-based refine ships
     every (point, tile) pair through Arrow with the tile's full WKB
@@ -405,6 +417,7 @@ def _make_index_refine_fn(id_cols: tuple[str, ...], bc):
     index (/root/reference/AreaCityQuery.java:50-53): the index ships
     once per worker, the (100-TB) probe table never shuffles."""
     id_list = list(id_cols)
+    keep_regions = keep  # the refine's dedup reuses the name `keep`
 
     def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[id_list].iloc[:0].copy()
@@ -437,6 +450,9 @@ def _make_index_refine_fn(id_cols: tuple[str, ...], bc):
             pair_tile = (np.arange(tot, dtype=np.int64)
                          - np.repeat(starts, tcnt) + np.repeat(c0, tcnt))
             row_pt = np.repeat(rows, tcnt)
+            if keep_regions is not None:
+                km = _in_sorted(idx["region"][pair_tile], keep_regions)
+                pair_tile, row_pt = pair_tile[km], row_pt[km]
             ppx = px[row_pt]
             ppy = py[row_pt]
             kindt = idx["kind"][pair_tile]
@@ -742,6 +758,7 @@ class SpatialEngine:
         self._bindex_off = False
         self._iindex = None  # Broadcast of the interior-cell CSR
         self._iindex_off = False
+        self._keep_cache: dict[str, np.ndarray] = {}
         # QueryInitInfo analog (/root/reference/AreaCityQuery.java:1513-1604):
         # build-phase metadata, populated by from_geojson / tile_store.load
         self._init_meta: dict = {}
@@ -1034,6 +1051,24 @@ class SpatialEngine:
         self._iindex = self.spark.sparkContext.broadcast(idx)
         return self._iindex
 
+    def _keep_region_ids(self, where: str | None) -> np.ndarray | None:
+        """Sorted region_id array matching `where` (None = unfiltered) —
+        the in-kernel twin of the join paths' LEFT SEMI tile filter, so
+        the broadcast-index refines serve `where`-filtered queries too
+        (since late r4). The boundaries dim is reference-scale small
+        (the reference keeps it whole in process memory,
+        AreaCityQuery.java:62-66), so this toPandas is metadata-sized;
+        cached per predicate text."""
+        if where is None:
+            return None
+        arr = self._keep_cache.get(where)
+        if arr is None:
+            pdf = (self.boundaries.filter(where)
+                   .select("region_id").toPandas())
+            arr = np.sort(pdf["region_id"].to_numpy().astype(np.int64))
+            self._keep_cache[where] = arr
+        return arr
+
     def _match_points(self, points: DataFrame, where: str | None = None,
                       lng="lng", lat="lat",
                       id_cols: tuple[str, ...] = ("point_id",),
@@ -1108,14 +1143,16 @@ class SpatialEngine:
                            else tb.hint("shuffle_merge"))
             interior = probe.join(tiles_i, "cell_id") \
                             .select(*id_cols, "region_id")
-            bidx = (self._boundary_index()
-                    if (where is None and bcast_b) else None)
+            bidx = self._boundary_index() if bcast_b else None
             if bidx is not None:
                 # broadcast-index refine: the probe side streams through
                 # UNSHUFFLED — skinny semi-join against the index's cell
                 # list, then pairs form inside the kernel against the
                 # worker-resident pre-decoded index. No repartition, no
-                # per-pair tile_wkb duplication through Arrow.
+                # per-pair tile_wkb duplication through Arrow. `where`
+                # (since late r4) rides along as a sorted keep-region
+                # array applied in-kernel — the LEFT SEMI tile filter's
+                # twin, so filtered queries stay zero-shuffle too.
                 bc, bcells_df = bidx
                 brows = None
                 bpts = probe.join(F.broadcast(bcells_df),
@@ -1127,10 +1164,12 @@ class SpatialEngine:
                     [points.schema[c] for c in id_cols]
                     + [StructField("region_id", LongType())])
                 refined = sel.mapInPandas(
-                    _make_index_refine_fn(id_cols, bc), refine_schema)
+                    _make_index_refine_fn(
+                        id_cols, bc, self._keep_region_ids(where)),
+                    refine_schema)
             else:
-                # join-based refine (filtered `where`, or boundary set
-                # past the index budget): skinny semi-join first — only
+                # join-based refine (boundary set past the index
+                # budget): skinny semi-join first — only
                 # probes in boundary-ish cells survive, ONE row each (no
                 # fan-out), then repartition by (cell, salt) so the
                 # refine sees cell-contiguous batches — each tile
@@ -1450,17 +1489,19 @@ class SpatialEngine:
                                  base_res if cover_res is None else cover_res))
 
             bidx = (self._boundary_index()
-                    if where is None and cov_res == base_res else None)
+                    if cov_res == base_res else None)
             if bidx is not None:
                 # BROADCAST-INDEX Q2 (the tolerance twin of Q1's
                 # boundary-index refine): no tile bytes ever shuffle —
                 # the only exchanges left are the skinny miss
-                # repartition and _finish_tolerance's min-agg. The
-                # SMJ cover-join below stays the fallback for
-                # `where`-filtered queries and for boundary sets past
-                # the index byte budget (township scale).
+                # repartition and _finish_tolerance's min-agg. `where`
+                # rides along as an in-kernel keep-region array (since
+                # late r4); the SMJ cover-join below stays the fallback
+                # for boundary sets past the index byte budget
+                # (township scale) and for coarse cover_res overrides.
                 dists = self._dists_tolerance_index(
-                    misses.repartition(F.col("point_id")), tol_m)
+                    misses.repartition(F.col("point_id")), tol_m,
+                    self._keep_region_ids(where))
                 return self._finish_tolerance(base_out, dists, k)
 
             def cover_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1595,8 +1636,8 @@ class SpatialEngine:
         dists = cand.mapInPandas(dist_fn, dist_schema)
         return self._finish_tolerance(base_out, dists, k)
 
-    def _dists_tolerance_index(self, misses: DataFrame,
-                               tol_m: float) -> DataFrame:
+    def _dists_tolerance_index(self, misses: DataFrame, tol_m: float,
+                               keep: np.ndarray | None = None) -> DataFrame:
         """tolerance>0 distance stage against the broadcast boundary
         index (≙ the reference's per-feature 24-gon scan,
         AreaCityQuery.java:102-163, re-expressed as one Arrow pass):
@@ -1613,6 +1654,7 @@ class SpatialEngine:
         bc, _ = self._boundary_index()
         base_res = self.base_res
         tol = float(tol_m)
+        keep_regions = keep  # the kernel's gate result reuses `keep`
         dist_schema = StructType([
             StructField("point_id", LongType()),
             StructField("region_id", LongType()),
@@ -1657,8 +1699,12 @@ class SpatialEngine:
                 tix = np.repeat(t0, tcnt) + toffs
                 scnt = fptr[tix + 1] - fptr[tix]
                 # boundary tiles only, and (as dist_fn) skip tiles with
-                # no true-boundary segments after window-run filtering
+                # no true-boundary segments after window-run filtering;
+                # `keep` = the in-kernel twin of _tiles_for's LEFT SEMI
+                # region filter (where-filtered queries)
                 m = (kind[tix] == 0) & (scnt > 0)
+                if keep_regions is not None:
+                    m &= _in_sorted(region[tix], keep_regions)
                 prep, tix, scnt = prep[m], tix[m], scnt[m]
                 if not len(prep):
                     yield empty
@@ -2179,7 +2225,8 @@ class SpatialEngine:
 
     # ---------------------------------------------------------- Q3
 
-    def _geometry_index_refine(self, probes: DataFrame) -> DataFrame:
+    def _geometry_index_refine(self, probes: DataFrame,
+                               keep: np.ndarray | None = None) -> DataFrame:
         """Q3 against the broadcast indexes — zero-shuffle
         geometry-intersects: ONE mapInPandas over the probe table.
         Per Arrow batch: probes decompose into columnar primitives
@@ -2199,6 +2246,7 @@ class SpatialEngine:
         bc, _ = self._boundary_index()
         bi = self._interior_index()
         base_res = self.base_res
+        keep_regions = keep  # the output dedup reuses the name `keep`
         schema = StructType([StructField("probe_id", LongType()),
                              StructField("region_id", LongType())])
 
@@ -2291,6 +2339,9 @@ class SpatialEngine:
                 toffs = np.arange(int(tcnt.sum()), dtype=np.int64) \
                     - np.repeat(np.cumsum(tcnt) - tcnt, tcnt)
                 tix = np.repeat(t0, tcnt) + toffs
+                if keep_regions is not None and len(prep):
+                    km = _in_sorted(tregion[tix], keep_regions)
+                    prep, pcell, tix = prep[km], pcell[km], tix[km]
                 if len(prep):
                     pk = kind_a[prep]
                     tk = tkind[tix]
@@ -2395,6 +2446,9 @@ class SpatialEngine:
                 roffs = np.arange(int(rcnt.sum()), dtype=np.int64) \
                     - np.repeat(np.cumsum(rcnt) - rcnt, rcnt)
                 irx = np.repeat(r0, rcnt) + roffs
+                if keep_regions is not None and len(iprep):
+                    km = _in_sorted(iregion[irx], keep_regions)
+                    iprep, islot2, irx = iprep[km], islot2[km], irx[km]
                 if len(iprep):
                     pk = kind_a[iprep]
                     rx0, ry0 = icx0[islot2], icy0[islot2]
@@ -2445,15 +2499,16 @@ class SpatialEngine:
         MULTIPOLYGON probe. Returns (probe_id, region_id [, props])
         for every boundary the probe intersects (boundary-touch counts).
 
-        Unfiltered queries against an index-budget boundary set take
-        the BROADCAST-INDEX refine (`_geometry_index_refine`) — zero
-        shuffle Exchanges, no per-task WKB decode, local dedup.
-        `where`-filtered or past-budget sets run the cover-join plan
-        below (the index holds every tile, so filters must join).
+        Queries against an index-budget boundary set take the
+        BROADCAST-INDEX refine (`_geometry_index_refine`) — zero
+        shuffle Exchanges, no per-task WKB decode, local dedup;
+        `where` rides along as an in-kernel keep-region array.
+        Past-budget sets run the cover-join plan below.
         """
-        if where is None and self._boundary_index() is not None \
+        if self._boundary_index() is not None \
                 and self._interior_index() is not None:
-            matches = self._geometry_index_refine(probes)
+            matches = self._geometry_index_refine(
+                probes, self._keep_region_ids(where))
             if not with_props:
                 return matches
             return self._with_props(matches, return_wkt_key=return_wkt_key)

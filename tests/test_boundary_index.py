@@ -64,18 +64,28 @@ def test_index_cell_table_matches_distinct_boundary_cells(
     assert (seg_len[idx["kind"] == 2] == 0).all()
 
 
-def test_where_filter_uses_join_path_and_agrees(spark, province_engine):
-    """`where` prunes the tile side region-wise — served by the join
-    path; its hits must equal post-filtering the index path's hits."""
+def test_where_filter_stays_on_index_path_and_agrees(spark,
+                                                     province_engine):
+    """`where` rides the index path as an in-kernel keep-region array
+    (since late r4): its hits must equal post-filtering the unfiltered
+    hits, AND equal the join path's LEFT SEMI pruning."""
+    eng = province_engine
     pts = _pts(spark, 2000)
     wh = "name = '广东省'"
     filtered = {
         (r.point_id, r.region_id)
-        for r in province_engine.query_points(
-            pts, where=wh, with_props=False).collect()}
+        for r in eng.query_points(pts, where=wh, with_props=False).collect()}
     keep = {r.region_id for r in
-            province_engine.boundaries.filter(wh)
-            .select("region_id").collect()}
-    full = {(p, rid) for (p, rid) in _hits(province_engine, pts)
-            if rid in keep}
+            eng.boundaries.filter(wh).select("region_id").collect()}
+    full = {(p, rid) for (p, rid) in _hits(eng, pts) if rid in keep}
     assert filtered == full
+    saved = (eng._bindex, eng._bindex_off)
+    try:
+        eng._bindex, eng._bindex_off = None, True
+        joined = {
+            (r.point_id, r.region_id)
+            for r in eng.query_points(
+                pts, where=wh, with_props=False).collect()}
+    finally:
+        eng._bindex, eng._bindex_off = saved
+    assert filtered == joined

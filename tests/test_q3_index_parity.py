@@ -74,17 +74,31 @@ def test_index_path_matches_join_path(spark, province_engine, shape):
     assert with_index == _join_path(eng, probes)
 
 
-def test_where_filter_takes_join_path(spark, province_engine):
-    # `where` restricts candidate regions; the index holds every tile,
-    # so filtered queries must route through the cover-join path — and
-    # still return only matching regions.
+def test_where_filter_rides_index_path(spark, province_engine):
+    # `where` rides the index path as an in-kernel keep-region array
+    # (since late r4) — only matching regions return, and the hit set
+    # equals the cover-join path's LEFT SEMI pruning.
     eng = province_engine
     probes = spark.createDataFrame(
-        [(0, "POLYGON ((110 20, 116 20, 116 26, 110 26, 110 20))")],
+        [(0, "POLYGON ((110 20, 116 20, 116 26, 110 26, 110 20))"),
+         (1, "LINESTRING (108 22, 118 36)")],
         "probe_id long, wkt string")
-    out = eng.query_geometry(probes, where="name = '广东省'")
+    wh = "name = '广东省'"
+    out = eng.query_geometry(probes, where=wh)
     names = {r["name"] for r in out.select("name").distinct().collect()}
     assert names == {"广东省"}
+
+    def sums():
+        o = eng.query_geometry(probes, where=wh, with_props=False)
+        return sorted((r.probe_id, r.region_id) for r in o.collect())
+
+    with_index = sums()
+    saved = (eng._bindex, eng._bindex_off)
+    try:
+        eng._bindex, eng._bindex_off = None, True
+        assert sums() == with_index
+    finally:
+        eng._bindex, eng._bindex_off = saved
 
 
 def test_interior_budget_fallback(spark, province_engine):
