@@ -101,6 +101,38 @@ def test_where_filter_rides_index_path(spark, province_engine):
         eng._bindex, eng._bindex_off = saved
 
 
+def test_cell_aligned_edge_probes_parity(spark, province_engine):
+    # adversarial alignment: probes sitting EXACTLY on res-10 cell
+    # borders (w = 360/2^10 = 0.3515625, dyadic — exact in fp), where
+    # cover/candidate generation is most at risk of diverging between
+    # the index lookup and the equi-join: degenerate point-rects on
+    # cell corners, zero-height rects along cell edges, segments
+    # running down a shared border, and rects exactly one cell wide.
+    eng = province_engine
+    w = 0.3515625
+    rows = []
+    pid = 0
+    for i in range(24):
+        x = 94.921875 + i * w        # exact multiples of the cell width
+        for j in range(10):
+            y = 19.6875 + j * 2 * w
+            for wkt in (
+                f"POINT ({x} {y})",
+                f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y}, "
+                f"{x} {y}, {x} {y}))",
+                f"LINESTRING ({x} {y}, {x} {y + w})",
+                f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + w}, "
+                f"{x} {y + w}, {x} {y}))",
+                f"MULTIPOINT (({x} {y}), ({x + w} {y + w}))",
+            ):
+                rows.append((pid, wkt))
+                pid += 1
+    probes = spark.createDataFrame(rows, "probe_id long, wkt string")
+    with_index = _checksums(eng, probes)
+    assert with_index[0] > 0
+    assert with_index == _join_path(eng, probes)
+
+
 def test_interior_budget_fallback(spark, province_engine):
     # past the interior-index row ceiling Q3 must keep the cover-join
     # plan (the index path needs BOTH CSRs) — and return the same hits
