@@ -44,7 +44,7 @@ public class RefParityDriver {
 
     public static void main(String[] args) throws Exception {
         String geojson = args[0];
-        String mode = args[1];          // point | tolerance | geometry
+        String mode = args[1];    // point | tolerance | geometry | bench
         String probesFile = args[2];
         String outFile = args[3];
         int tol = args.length > 4 ? Integer.parseInt(args[4]) : 2500;
@@ -52,6 +52,11 @@ public class RefParityDriver {
         AreaCityQuery q = AreaCityQuery.Instances[0];
         q.Init_StoreInMemory(geojson, null, false);
         q.CheckInitIsOK();
+
+        if (mode.equals("bench")) {   // args: geojson bench <n> <threads>
+            bench(q, Long.parseLong(args[2]), Integer.parseInt(args[3]));
+            return;
+        }
 
         WKTReader reader = new WKTReader(AreaCityQuery.Factory);
         long t0 = System.nanoTime();
@@ -97,5 +102,59 @@ public class RefParityDriver {
         System.out.println("refparity_done probes=" + n
             + " sec=" + String.format("%.3f", sec)
             + " qps=" + String.format("%.0f", n / Math.max(sec, 1e-9)));
+    }
+
+    /**
+     * Throughput leg mirroring the reference's own speed test
+     * (Test.java:437-505: random QueryPoint over the 98..123 / 21..43
+     * box, Result cleared each call) but with a DETERMINISTIC
+     * golden-ratio probe sequence so the Spark engine can answer the
+     * exact same probes and the total hit count can be compared
+     * bit-for-bit. probe i: frac(i*phi), frac(i*rho) — plain IEEE
+     * double mul + mod, reproducible in numpy.
+     */
+    static void bench(AreaCityQuery q, long n, int threads)
+            throws Exception {
+        // warmup: first n/10 probes, untimed
+        runSlice(q, 0, Math.max(1, n / 10));
+        long[] hits = new long[threads];
+        Thread[] ts = new Thread[threads];
+        long t0 = System.nanoTime();
+        for (int t = 0; t < threads; t++) {
+            final int ti = t;
+            final long lo = n * ti / threads, hi = n * (ti + 1) / threads;
+            ts[t] = new Thread(() -> {
+                try {
+                    hits[ti] = runSlice(q, lo, hi);
+                } catch (Exception e) {
+                    throw new RuntimeException(e);
+                }
+            });
+            ts[t].start();
+        }
+        long total = 0;
+        for (int t = 0; t < threads; t++) {
+            ts[t].join();
+            total += hits[t];
+        }
+        double sec = (System.nanoTime() - t0) / 1e9;
+        System.out.println("refbench threads=" + threads + " n=" + n
+            + " sec=" + String.format("%.3f", sec)
+            + " qps=" + String.format("%.0f", n / Math.max(sec, 1e-9))
+            + " hits=" + total);
+    }
+
+    static long runSlice(AreaCityQuery q, long lo, long hi)
+            throws Exception {
+        AreaCityQuery.QueryResult res = new AreaCityQuery.QueryResult();
+        long hits = 0;
+        for (long i = lo; i < hi; i++) {
+            double u = ((double) i * 0.6180339887498949) % 1.0;
+            double v = ((double) i * 0.7548776662466927) % 1.0;
+            q.QueryPoint(98.0 + u * 25.0, 21.0 + v * 22.0, null, res);
+            hits += res.Result.size();
+            res.Result.clear();
+        }
+        return hits;
     }
 }
