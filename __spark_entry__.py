@@ -1429,6 +1429,53 @@ def stream_geofence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "from_code", "to_code")
 
 
+def stream_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream↔stream event-time interval join (streaming/
+    join_stream.py), VALUE-checked: the view and click slices of the
+    events table stream from separately staged single-file copies,
+    watermarked 2 h on BOTH sides, and inner-join on user_id with
+    click_ts ∈ [view_ts, view_ts + 1 h] — the interval predicate is
+    what lets Spark evict keyed state as the watermarks advance
+    (bounded state against an infinite firehose). Inner-join emission
+    is match-time, not watermark-gated, and both sides arrive in batch
+    0 (single-batch delivery pin), so the drained sink equals the
+    DuckDB batch interval join exactly; lag_us is integer microsecond
+    arithmetic in both engines."""
+    from areacity_query_geometry_spark.streaming import join_stream
+
+    _register(spark, sf_dir, ("events",))
+    in_v = _stage_stream_input(
+        lambda: spark.sql("""
+            SELECT event_id AS view_id, user_id, ts AS view_ts
+            FROM events WHERE event_type = 'view'
+        """), "/tmp/aqgs_stream_join_v", f"join_v|{sf_dir}")
+    in_c = _stage_stream_input(
+        lambda: spark.sql("""
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        """), "/tmp/aqgs_stream_join_c", f"join_c|{sf_dir}")
+    views = (spark.readStream
+             .schema("view_id long, user_id long, view_ts timestamp")
+             .parquet(in_v))
+    clicks = (spark.readStream
+              .schema("click_id long, user_id long, click_ts timestamp")
+              .parquet(in_c))
+    out = join_stream.stream_interval_join(
+        views, clicks, key="user_id", left_ts="view_ts",
+        right_ts="click_ts", max_lag="1 hour", watermark="2 hours")
+    tbl = "stream_interval_join_gate"
+    spark.catalog.dropTempView(tbl)
+    q = (out.writeStream.format("memory").queryName(tbl)
+         .outputMode("append")
+         .option("checkpointLocation", "/tmp/aqgs_stream_join_v/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(tbl).select(
+        "user_id", "view_id", "click_id",
+        (F.unix_micros("click_ts")
+         - F.unix_micros("view_ts")).alias("lag_us"))
+
+
 def events_region_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory analytics over the Q1 join (the batch face of
     stream_geofence_gate): per-user, per-region DWELL time. Each probe's
@@ -1526,6 +1573,53 @@ def events_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn.range_point_join(probes, points, radius_deg=0.5, res=6)
     return out.select(F.col("probe_id").cast("long"),
                       F.col("point_id").cast("long"), "d2")
+
+
+def events_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex-hull aggregate (hull.py): per event_type, the
+    strictly convex CCW hull of its dyadic point cloud, rank 0 at the
+    lexicographic minimum vertex. Spark shape: mapInPandas partial
+    hulls per partition (zero shuffle, Akl–Toussaint-filtered numpy),
+    then ONE group shuffle of hull-sized rows — at 10^12 points the
+    exchange carries kilobytes. The DuckDB oracle computes the same
+    ring by gift wrapping in a recursive CTE; int64 cross products on
+    the 1/64° lattice make both engines bit-identical."""
+    from areacity_query_geometry_spark import hull
+
+    _register(spark, sf_dir, ("events",))
+    points = spark.sql("""
+        SELECT event_type,
+               CAST(event_id * 53 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 89 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events WHERE event_id % 7 = 0
+    """)
+    out = hull.convex_hull(points, group_col="event_type")
+    return out.select("event_type", F.col("rank").cast("long"),
+                      "lng", "lat")
+
+
+def events_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (cluster.py): dense 1° cells
+    (≥ 10 points) merged across the 8-neighbourhood into connected
+    components — DBSCAN's grid relaxation. The point table is touched
+    by exactly one map-side-combining count; the components loop runs
+    on dense cells only (≤ points/min_pts), via the same min-label
+    iteration dedup_cluster_cc proved out. Oracle: recursive-CTE
+    reachability closure over the identical integer cell graph."""
+    from areacity_query_geometry_spark import cluster
+
+    _register(spark, sf_dir, ("events",))
+    points = spark.sql("""
+        SELECT CAST(event_id * 37 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST((event_id * 61 % 1280) + (event_id * 7 % 160)
+                    AS DOUBLE) / 64 AS lat
+        FROM events
+    """)
+    out = cluster.grid_density_clusters(points, cell_deg=1.0, min_pts=10)
+    return out.select(F.col("cell_x").cast("long"),
+                      F.col("cell_y").cast("long"),
+                      F.col("n_points").cast("long"),
+                      F.col("cluster_id").cast("long"))
 
 
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,43 +2195,23 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair graph (the step every real dedup pipeline runs after
     pair generation — pairs alone don't dedup; transitive groups do).
 
-    Spark shape: iterative min-label propagation — labels start as
-    doc_id, each round joins labels to the (bidirectional) edge list,
-    takes min(neighbor label, own label), and stops when a round
-    changes nothing. Each round is ONE keyed shuffle; localCheckpoint
-    truncates the growing lineage so round N's plan doesn't replay
-    rounds 1..N-1 (the practical large-scale CC recipe; rounds needed =
-    graph diameter, single digits for near-dup clusters). The DuckDB
-    oracle computes the same fixpoint with a recursive CTE. Output:
-    every document with its cluster representative (min doc_id in its
-    component — singletons map to themselves) and the component size."""
+    Spark shape: cluster.py::connected_components — min-label
+    propagation with pointer doubling (O(log diameter) rounds, one
+    localCheckpoint-truncated keyed shuffle per term, changed-flag
+    convergence on materialized data) — running ONLY over nodes that
+    have edges: the overwhelming majority of documents are singletons
+    and need no propagation at all (at 10^12 docs the edge-node set is
+    what near-dup found, orders of magnitude smaller than the corpus).
+    The DuckDB oracle computes the same fixpoint with a recursive CTE.
+    Output: every document with its cluster representative (min doc_id
+    in its component — singletons map to themselves) and the component
+    size."""
+    from areacity_query_geometry_spark.cluster import connected_components
+
     pairs = minhash_lsh_near_dup(spark, sf_dir).select("d1", "d2")
     docs = spark.sql("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents")
-    edges = pairs.selectExpr("d1 AS a", "d2 AS b") \
-        .unionByName(pairs.selectExpr("d2 AS a", "d1 AS b")) \
-        .localCheckpoint(eager=True)
-    # iterate ONLY over nodes that have edges — the overwhelming
-    # majority of documents are singletons and need no propagation at
-    # all (at 10^12 docs the edge-node set is what near-dup found,
-    # orders of magnitude smaller than the corpus); each round's
-    # changed-flag rides the checkpointed round output, so convergence
-    # costs an isEmpty probe on materialized data, not a separate
-    # recomputing count job (VERDICT r2 next-round #8)
-    labels = (edges.select(F.col("a").alias("doc_id")).distinct()
-              .selectExpr("doc_id", "doc_id AS label")
-              .localCheckpoint(eager=True))
-    while True:
-        neigh = (edges.join(labels, edges.a == labels.doc_id)
-                 .groupBy(F.col("b").alias("doc_id"))
-                 .agg(F.min("label").alias("nlabel")))
-        new = (labels.join(neigh, "doc_id")
-               .select("doc_id",
-                       F.least("label", "nlabel").alias("label"),
-                       (F.col("nlabel") < F.col("label")).alias("chg"))
-               .localCheckpoint(eager=True))
-        labels = new.select("doc_id", "label")
-        if new.filter("chg").isEmpty():
-            break
+    labels = (connected_components(pairs.selectExpr("d1 AS a", "d2 AS b"))
+              .selectExpr("node AS doc_id", "label"))
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     clustered = (labels.join(sizes, "label")
                  .select("doc_id", F.col("label").alias("cluster_id"),
@@ -2221,12 +2295,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts_gate": stream_window_counts_gate,
         "stream_dedup_gate": stream_dedup_gate,
         "stream_geofence_gate": stream_geofence_gate,
+        "stream_interval_join_gate": stream_interval_join_gate,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "events_region_dwell": events_region_dwell,
         "events_knn_points": events_knn_points,
         "events_range_points": events_range_points,
+        "events_convex_hull": events_convex_hull,
+        "events_density_clusters": events_density_clusters,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
         "region_overlay_area": region_overlay_area,
@@ -2752,6 +2829,22 @@ def oracle_sql() -> dict[str, str]:
                    fence AS to_code
             FROM seq WHERE prev IS NULL OR prev <> fence
         """,
+        "stream_interval_join_gate": """
+            WITH v AS (
+                SELECT event_id AS view_id, user_id, ts AS vts
+                FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+                SELECT event_id AS click_id, user_id, ts AS cts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, v.view_id, c.click_id,
+                   CAST(epoch_us(c.cts) - epoch_us(v.vts) AS BIGINT) AS lag_us
+            FROM v JOIN c
+              ON c.user_id = v.user_id
+             AND c.cts >= v.vts
+             AND c.cts <= v.vts + INTERVAL 1 HOUR
+        """,
         "events_region_dwell": f"""
             WITH probes AS (
                 SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -2830,6 +2923,84 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p CROSS JOIN points s
             WHERE (s.lng - p.lng) * (s.lng - p.lng)
                   + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
+        """,
+        "events_convex_hull": """
+            WITH RECURSIVE pts AS (
+                SELECT DISTINCT event_type AS g,
+                       CAST(event_id * 53 % 2560 AS BIGINT) AS x,
+                       CAST(event_id * 89 % 2560 AS BIGINT) AS y
+                FROM events WHERE event_id % 7 = 0
+            ),
+            strt AS (
+                SELECT g, x, y FROM (
+                    SELECT g, x, y,
+                           row_number() OVER (PARTITION BY g
+                                              ORDER BY x, y) AS rn
+                    FROM pts
+                ) WHERE rn = 1
+            ),
+            wrap(g, x, y, rnk) AS (
+                SELECT g, x, y, 0 FROM strt
+                UNION ALL
+                SELECT w.g, p.x, p.y, w.rnk + 1
+                FROM wrap w
+                JOIN strt s ON s.g = w.g
+                JOIN pts p ON p.g = w.g
+                          AND (p.x <> w.x OR p.y <> w.y)
+                          AND (p.x <> s.x OR p.y <> s.y)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM pts q
+                    WHERE q.g = w.g
+                      AND (q.x <> w.x OR q.y <> w.y)
+                      AND (q.x <> p.x OR q.y <> p.y)
+                      AND ((p.x - w.x) * (q.y - w.y)
+                           - (p.y - w.y) * (q.x - w.x) < 0
+                        OR ((p.x - w.x) * (q.y - w.y)
+                            - (p.y - w.y) * (q.x - w.x) = 0
+                            AND (q.x - w.x) * (q.x - w.x)
+                                + (q.y - w.y) * (q.y - w.y)
+                              > (p.x - w.x) * (p.x - w.x)
+                                + (p.y - w.y) * (p.y - w.y)))
+                )
+            )
+            SELECT g AS event_type, CAST(rnk AS BIGINT) AS rank,
+                   CAST(x AS DOUBLE) / 64 AS lng,
+                   CAST(y AS DOUBLE) / 64 AS lat
+            FROM wrap
+        """,
+        "events_density_clusters": """
+            WITH RECURSIVE cells AS (
+                SELECT CAST(floor((CAST(event_id * 37 % 2560 AS DOUBLE) / 64)
+                                  / 1.0) AS BIGINT) AS cell_x,
+                       CAST(floor((CAST((event_id * 61 % 1280)
+                                        + (event_id * 7 % 160) AS DOUBLE) / 64)
+                                  / 1.0) AS BIGINT) AS cell_y,
+                       count(*) AS n_points
+                FROM events
+                GROUP BY 1, 2
+                HAVING count(*) >= 10
+            ),
+            keyed AS (
+                SELECT cell_x, cell_y, n_points,
+                       (cell_x + 524288) * 1048576 + cell_y + 524288 AS key
+                FROM cells
+            ),
+            edges AS (
+                SELECT a.key AS a, b.key AS b
+                FROM keyed a JOIN keyed b
+                  ON abs(a.cell_x - b.cell_x) <= 1
+                 AND abs(a.cell_y - b.cell_y) <= 1
+                 AND a.key <> b.key
+            ),
+            comp(node, root) AS (
+                SELECT key, key FROM keyed
+                UNION
+                SELECT e.b, c.root FROM comp c JOIN edges e ON e.a = c.node
+            )
+            SELECT k.cell_x, k.cell_y, k.n_points,
+                   (SELECT min(root) FROM comp c
+                    WHERE c.node = k.key) AS cluster_id
+            FROM keyed k
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
