@@ -28,7 +28,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def _solve_components_numpy(a, b):
+    """In-memory min-label fixpoint with pointer jumping over int64
+    edge arrays (both directions present). Vectorized numpy only —
+    np.minimum.at scatters neighbour minima, fancy indexing jumps
+    label chains; rounds = O(log diameter)."""
+    import numpy as np
+
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    labels = nodes.copy()
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, ib, labels[ia])      # neighbour min
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])  # jump
+        if np.array_equal(new, labels):
+            return nodes, labels
+        labels = new
+
+
+def connected_components(edges: DataFrame,
+                         small_graph_edges: int = 1 << 22) -> DataFrame:
     """Min-label connected components of an undirected edge list
     (columns a, b: long node keys). Returns (node, label) with label =
     min node key in the component. Nodes with no edges are absent —
@@ -47,10 +68,32 @@ def connected_components(edges: DataFrame) -> DataFrame:
     neighbour-min and the jump; lineage cut by localCheckpoint
     (ContextCleaner-reclaimed, repo convention); convergence read from
     a changed-flag riding the checkpointed output.
+
+    Size-aware: a graph whose (bidirectional) edge list fits
+    `small_graph_edges` solves in ONE vectorized Arrow kernel
+    (`_solve_components_numpy` — the same budgeted collect-to-kernel
+    philosophy as the engine's broadcast indexes: the EDGE set is what
+    near-dup/density discovery found, orders of magnitude smaller than
+    the corpus, so at the default 4M-edge budget the kernel task holds
+    ~64 MB while the distributed loop would pay ~0.5 s of
+    shuffle+checkpoint overhead PER ROUND). Past-budget graphs run the
+    pointer-doubling loop unchanged; both paths land the identical
+    min-label fixpoint.
     """
     bidir = (edges.selectExpr("a", "b")
              .unionByName(edges.selectExpr("b AS a", "a AS b"))
              .localCheckpoint(eager=True))
+    if bidir.count() <= small_graph_edges:
+        import pandas as pd
+
+        def solve(pdf):
+            nodes, labels = _solve_components_numpy(
+                pdf["a"].to_numpy("int64"), pdf["b"].to_numpy("int64"))
+            return pd.DataFrame({"node": nodes, "label": labels})
+
+        return (bidir.groupBy(F.lit(1).alias("_g"))
+                .applyInPandas(lambda pdf: solve(pdf),
+                               "node long, label long"))
     labels = (bidir.select(F.col("a").alias("node")).distinct()
               .selectExpr("node", "node AS label")
               .localCheckpoint(eager=True))

@@ -88,6 +88,21 @@ def test_grid_density_clusters_vs_brute(spark, n_parts):
     assert got == want_keyed
 
 
+def test_distributed_loop_equals_kernel_path(spark):
+    """small_graph_edges=0 forces the pointer-doubling loop; it must
+    land the identical fixpoint as the default in-kernel solve."""
+    rng = np.random.RandomState(21)
+    edges = [(int(rng.randint(200)), int(rng.randint(200)))
+             for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    fast = dict(cluster.connected_components(df).collect())
+    slow = dict(cluster.connected_components(
+        df, small_graph_edges=0).collect())
+    assert fast == slow
+    assert fast == _bfs_components(edges, {a for e in edges for a in e})
+
+
 def test_key_offset_roundtrip_negative_cells(spark):
     # one dense cell far in the negative quadrant: its cluster_id must
     # decode back to itself through the offset formula
