@@ -1575,6 +1575,36 @@ def events_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("point_id").cast("long"), "d2")
 
 
+def events_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-weighted spatial interpolation (interpolate.py): probe
+    locations estimate a value surface from the event point samples
+    within 0.5° — one cell-cover equi-join (sample values ride the
+    join, no second value shuffle) + one map-side-combining per-probe
+    aggregation. The ρ²−d² kernel keeps every weight and partial sum
+    exactly dyadic, so num/den match the DuckDB cross-join oracle
+    bit-for-bit with no rounding escape hatch."""
+    from areacity_query_geometry_spark import interpolate
+
+    _register(spark, sf_dir, ("events",))
+    probes = spark.sql("""
+        SELECT event_id AS probe_id,
+               CAST(event_id * 47 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 79 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events WHERE event_id % 25 = 0
+    """)
+    points = spark.sql("""
+        SELECT event_id AS point_id,
+               CAST(event_id * 29 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 103 % 2560 AS DOUBLE) / 64 AS lat,
+               CAST(event_id % 97 AS DOUBLE) AS val
+        FROM events
+    """)
+    out = interpolate.kernel_interpolate(probes, points, radius_deg=0.5,
+                                         res=6, value_col="val")
+    return out.select(F.col("probe_id").cast("long"),
+                      F.col("n_samples").cast("long"), "num", "den")
+
+
 def events_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed convex-hull aggregate (hull.py): per event_type, the
     strictly convex CCW hull of its dyadic point cloud, rank 0 at the
@@ -2302,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_region_dwell": events_region_dwell,
         "events_knn_points": events_knn_points,
         "events_range_points": events_range_points,
+        "events_idw_surface": events_idw_surface,
         "events_convex_hull": events_convex_hull,
         "events_density_clusters": events_density_clusters,
         "raster_coverage": raster_coverage,
@@ -2923,6 +2954,33 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p CROSS JOIN points s
             WHERE (s.lng - p.lng) * (s.lng - p.lng)
                   + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
+        """,
+        "events_idw_surface": """
+            WITH probes AS (
+                SELECT event_id AS probe_id,
+                       CAST(event_id * 47 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 79 % 2560 AS DOUBLE) / 64 AS lat
+                FROM events WHERE event_id % 25 = 0
+            ),
+            points AS (
+                SELECT event_id AS point_id,
+                       CAST(event_id * 29 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 103 % 2560 AS DOUBLE) / 64 AS lat,
+                       CAST(event_id % 97 AS DOUBLE) AS val
+                FROM events
+            ),
+            pairs AS (
+                SELECT p.probe_id, s.val,
+                       (s.lng - p.lng) * (s.lng - p.lng)
+                       + (s.lat - p.lat) * (s.lat - p.lat) AS d2
+                FROM probes p CROSS JOIN points s
+                WHERE (s.lng - p.lng) * (s.lng - p.lng)
+                      + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
+            )
+            SELECT probe_id, count(*) AS n_samples,
+                   sum(val * (0.25 - d2)) AS num,
+                   sum(0.25 - d2) AS den
+            FROM pairs GROUP BY probe_id
         """,
         "events_convex_hull": """
             WITH RECURSIVE pts AS (

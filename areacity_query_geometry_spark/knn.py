@@ -48,10 +48,14 @@ _MAX_ROUNDS = 16
 
 
 def _round_candidates(active: DataFrame, pts: DataFrame,
-                      w: float, n: int, pack: str):
+                      w: float, n: int, pack: str,
+                      carry: tuple = ()):
     """One round's cover + candidate stage (cov, cand) — split out so
     tools/plan_audit.py can assert the join is an EQUI-join on cell_id
-    (never CartesianProduct / BroadcastNestedLoopJoin)."""
+    (never CartesianProduct / BroadcastNestedLoopJoin). `carry` names
+    extra pts columns to pass through to the candidates (free — they
+    ride the one existing join; rejoining them later would cost a
+    second points-sized shuffle)."""
     cov = active.selectExpr(
         "probe_id", "lng", "lat", "rho",
         f"least(greatest(CAST(floor((lng - rho + 180.0) / {w!r}) AS BIGINT), 0L), {n - 1}L) AS ix0",
@@ -71,31 +75,35 @@ def _round_candidates(active: DataFrame, pts: DataFrame,
             .selectExpr(
                 "probe_id", "rho", "full_box", "point_id",
                 "(plng - lng) * (plng - lng)"
-                " + (plat - lat) * (plat - lat) AS d2"))
+                " + (plat - lat) * (plat - lat) AS d2",
+                *carry))
     return cov, cand
 
 
 def range_point_join(probes: DataFrame, points: DataFrame,
-                     radius_deg: float, res: int = 6) -> DataFrame:
+                     radius_deg: float, res: int = 6,
+                     point_cols: tuple = ()) -> DataFrame:
     """Spatial distance-range join: every (probe, point) pair with
     planar degree distance ≤ radius. ONE cover pass is complete and
     exact — the radius-ρ Chebyshev box contains the full L2 disc, so
     cover cells ⊇ all qualifying points and the d² ≤ ρ² filter is the
     only refinement. Same cost model as one knn_point_join round:
     probe fan-out = the box's cell count, equi-join on cell_id, never
-    a cross join. Returns (probe_id, point_id, d2)."""
+    a cross join. Returns (probe_id, point_id, d2, *point_cols) —
+    `point_cols` ride the one cell equi-join for free."""
     w = 360.0 / (1 << res)
     n = 1 << res
     pack = (f"(CAST({res} AS BIGINT) * {1 << grid._RES_SHIFT}L"
             f" + ix * {1 << grid._IX_SHIFT}L + iy)")
     pts = points.selectExpr(
         "point_id", "lng AS plng", "lat AS plat",
-        f"{grid.cell_id_sql_expr('lng', 'lat', res)} AS cell_id")
+        f"{grid.cell_id_sql_expr('lng', 'lat', res)} AS cell_id",
+        *point_cols)
     active = probes.selectExpr("probe_id", "lng", "lat").withColumn(
         "rho", F.lit(float(radius_deg)))
-    _, cand = _round_candidates(active, pts, w, n, pack)
+    _, cand = _round_candidates(active, pts, w, n, pack, carry=point_cols)
     return (cand.filter(F.col("d2") <= F.col("rho") * F.col("rho"))
-            .select("probe_id", "point_id", "d2"))
+            .select("probe_id", "point_id", "d2", *point_cols))
 
 
 def knn_point_join(probes: DataFrame, points: DataFrame, k: int = 3,
