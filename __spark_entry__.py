@@ -1575,6 +1575,30 @@ def events_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("point_id").cast("long"), "d2")
 
 
+def events_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker polyline simplification (simplify.py): eight
+    synthetic polylines (events partitioned by id, ordered by id)
+    generalize at ε = 5°. Division-free split tests (cross² vs
+    ε²·|chord|², int64-exact on the lattice) make every branch of the
+    recursion engine-independent; the DuckDB oracle replays the same
+    recursion in a recursive CTE with the same smallest-index
+    tiebreak. ONE shuffle (group by line), vectorized kernel."""
+    from areacity_query_geometry_spark import simplify
+
+    _register(spark, sf_dir, ("events",))
+    verts = spark.sql("""
+        SELECT event_id % 8 AS line_id,
+               row_number() OVER (PARTITION BY event_id % 8
+                                  ORDER BY event_id) - 1 AS seq,
+               CAST(event_id * 31 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 73 % 2560 AS DOUBLE) / 64 AS lat
+        FROM events WHERE event_id % 3 = 0
+    """)
+    out = simplify.simplify_lines(verts, eps_deg=5.0)
+    return out.select(F.col("line_id").cast("long"), "rank", "seq",
+                      "lng", "lat")
+
+
 def events_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel-weighted spatial interpolation (interpolate.py): probe
     locations estimate a value surface from the event point samples
@@ -2332,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_region_dwell": events_region_dwell,
         "events_knn_points": events_knn_points,
         "events_range_points": events_range_points,
+        "events_simplify_lines": events_simplify_lines,
         "events_idw_surface": events_idw_surface,
         "events_convex_hull": events_convex_hull,
         "events_density_clusters": events_density_clusters,
@@ -2954,6 +2979,84 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p CROSS JOIN points s
             WHERE (s.lng - p.lng) * (s.lng - p.lng)
                   + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
+        """,
+        "events_simplify_lines": """
+            WITH RECURSIVE pts AS (
+                SELECT event_id % 8 AS g,
+                       row_number() OVER (PARTITION BY event_id % 8
+                                          ORDER BY event_id) - 1 AS s,
+                       CAST(event_id * 31 % 2560 AS BIGINT) AS x,
+                       CAST(event_id * 73 % 2560 AS BIGINT) AS y
+                FROM events WHERE event_id % 3 = 0
+            ),
+            ends AS (
+                SELECT g, CAST(0 AS BIGINT) AS i, max(s) AS j
+                FROM pts GROUP BY g
+            ),
+            iv(g, i, j) AS (
+                SELECT g, i, j FROM ends
+                UNION ALL
+                SELECT w.g,
+                       CASE sides.side WHEN 0 THEN w.i ELSE p.s END,
+                       CASE sides.side WHEN 0 THEN p.s ELSE w.j END
+                FROM iv w
+                JOIN pts a ON a.g = w.g AND a.s = w.i
+                JOIN pts b ON b.g = w.g AND b.s = w.j
+                JOIN pts p ON p.g = w.g AND p.s > w.i AND p.s < w.j
+                CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) sides
+                WHERE (CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                            THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+                            ELSE ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                               * ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                       END)
+                     > (CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                             THEN 102400
+                             ELSE 102400 * ((b.x-a.x)*(b.x-a.x)
+                                            + (b.y-a.y)*(b.y-a.y))
+                        END)
+                  AND NOT EXISTS (
+                    SELECT 1 FROM pts q
+                    WHERE q.g = w.g AND q.s > w.i AND q.s < w.j
+                      AND ((CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                                 THEN (q.x-a.x)*(q.x-a.x)+(q.y-a.y)*(q.y-a.y)
+                                 ELSE ((b.x-a.x)*(q.y-a.y)-(b.y-a.y)*(q.x-a.x))
+                                    * ((b.x-a.x)*(q.y-a.y)-(b.y-a.y)*(q.x-a.x))
+                            END)
+                          > (CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                                  THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+                                  ELSE ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                                     * ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                             END)
+                        OR ((CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                                  THEN (q.x-a.x)*(q.x-a.x)+(q.y-a.y)*(q.y-a.y)
+                                  ELSE ((b.x-a.x)*(q.y-a.y)-(b.y-a.y)*(q.x-a.x))
+                                     * ((b.x-a.x)*(q.y-a.y)-(b.y-a.y)*(q.x-a.x))
+                             END)
+                           = (CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                                   THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+                                   ELSE ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                                      * ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+                              END)
+                           AND q.s < p.s))
+                  )
+            ),
+            kept AS (
+                -- explicit DISTINCT over UNION ALL: inside a WITH
+                -- RECURSIVE list DuckDB does not dedupe a later CTE's
+                -- bare UNION across branches
+                SELECT DISTINCT g, s FROM (
+                    SELECT g, i AS s FROM iv
+                    UNION ALL
+                    SELECT g, j AS s FROM iv
+                )
+            )
+            SELECT k.g AS line_id,
+                   row_number() OVER (PARTITION BY k.g ORDER BY k.s) - 1
+                       AS rank,
+                   k.s AS seq,
+                   CAST(v.x AS DOUBLE) / 64 AS lng,
+                   CAST(v.y AS DOUBLE) / 64 AS lat
+            FROM kept k JOIN pts v ON v.g = k.g AND v.s = k.s
         """,
         "events_idw_surface": """
             WITH probes AS (
