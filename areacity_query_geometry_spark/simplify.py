@@ -15,15 +15,20 @@ SMALLEST index — numpy argmax's first-hit and the oracle's NOT
 EXISTS tiebreak agree by construction. A degenerate chord (equal
 endpoints) falls back to point distance² > ε².
 
-Spark shape: ONE shuffle keys vertices by line id; each line
-simplifies in a vectorized kernel (`applyInPandas`) — the explicit
-stack iterates over OUTPUT splits (≤ kept vertices), while every
-distance sweep inside an interval is a numpy vector op, the same
-loop-over-results-not-rows budget as hull.py's chain walk. Lines are
-independent, so 10^12 total vertices scale by line count; a single
-pathological multi-billion-vertex line would need chunked DP (not
-implemented — documented ceiling: per-line vertex count must fit an
-executor's Arrow batch).
+Spark shape: ONE shuffle keys vertices by line id
+(repartition + sortWithinPartitions, so whole Arrow batches of
+line-contiguous vertices reach `mapInPandas`), then the BATCH kernel
+(`dp_keep_mask_batch`) advances every active interval of every line
+in the batch per round with segment-wise vector ops
+(`maximum.reduceat` argmax, exact first-index tiebreak) — the Python
+loop runs O(max recursion depth) times total, not per line or per
+split (measured ~10× over the per-line groupBy·applyInPandas
+formulation at 1000-vertex lines, where pandas group dispatch and the
+per-line stack dominated). Lines are independent, so 10^12 total
+vertices scale by line count; a single pathological
+multi-billion-vertex line would need chunked DP (not implemented —
+documented ceiling: per-LINE vertex count must fit an executor's
+memory; the kernel already carries lines across Arrow batch splits).
 """
 from __future__ import annotations
 
@@ -72,6 +77,83 @@ def dp_keep_mask(ix: np.ndarray, iy: np.ndarray, eps2: int) -> np.ndarray:
     return keep
 
 
+def dp_keep_mask_batch(ix: np.ndarray, iy: np.ndarray,
+                       line_starts: np.ndarray, eps2: int) -> np.ndarray:
+    """Breadth-first DP over MANY concatenated polylines at once:
+    every active interval (across every line in the batch) advances
+    per ROUND with segment-wise vector ops (`maximum.reduceat` argmax
+    with exact first-index tiebreak), so the Python loop runs
+    O(max recursion depth) times — not once per line or per split.
+    Identical output to per-line `dp_keep_mask` by construction (the
+    split vertex of an interval depends only on the interval, so
+    traversal order is irrelevant); tests/test_simplify.py pins it.
+
+    ix, iy: concatenated scaled-int vertices; line_starts: start
+    offset per line plus a final sentinel len(ix)."""
+    n = len(ix)
+    keep = np.zeros(n, bool)
+    if n == 0:
+        return keep
+    ix = ix.astype(np.int64)
+    iy = iy.astype(np.int64)
+    starts = line_starts[:-1]
+    ends = line_starts[1:] - 1
+    keep[starts] = True
+    keep[ends] = True
+    live = ends - starts >= 2
+    I = starts[live].astype(np.int64)
+    J = ends[live].astype(np.int64)
+    while len(I):
+        L = J - I - 1                       # interior vertices per interval
+        seg = np.repeat(np.arange(len(I)), L)
+        k = np.arange(L.sum()) - np.repeat(np.cumsum(L) - L, L) \
+            + np.repeat(I + 1, L)           # global interior indices
+        dxs = ix[J] - ix[I]
+        dys = iy[J] - iy[I]
+        ln2 = dxs * dxs + dys * dys
+        dxv = dxs[seg]
+        dyv = dys[seg]
+        ax = ix[I][seg]
+        ay = iy[I][seg]
+        cr = dxv * (iy[k] - ay) - dyv * (ix[k] - ax)
+        m = cr * cr
+        deg = ln2[seg] == 0
+        if deg.any():                       # closed-loop chords
+            m = np.where(deg, (ix[k] - ax) ** 2 + (iy[k] - ay) ** 2, m)
+        bounds = np.cumsum(L) - L
+        seg_max = np.maximum.reduceat(m, bounds)
+        # first index achieving the max (== dp_keep_mask's argmax)
+        cand = np.where(m == seg_max[seg], k, np.iinfo(np.int64).max)
+        split_at = np.minimum.reduceat(cand, bounds)
+        thr = np.where(ln2 == 0, eps2, eps2 * ln2)
+        do = seg_max > thr
+        ks = split_at[do]
+        keep[ks] = True
+        I2 = np.concatenate([I[do], ks])
+        J2 = np.concatenate([ks, J[do]])
+        live = J2 - I2 >= 2
+        I, J = I2[live], J2[live]
+    return keep
+
+
+def _simplify_block(pdf: pd.DataFrame, eps2: int) -> pd.DataFrame:
+    """Run the batch kernel over a line-contiguous, seq-sorted block
+    and attach per-line 0-based ranks (vectorized cumsum algebra)."""
+    lid = pdf["line_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, lid[1:] != lid[:-1]])
+    line_starts = np.r_[starts, len(lid)]
+    keep = dp_keep_mask_batch(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                              line_starts, eps2)
+    kcum = np.cumsum(keep)
+    kept_before = np.r_[0, kcum[starts[1:] - 1]] if len(starts) > 1 \
+        else np.zeros(1, np.int64)
+    offs = np.repeat(kept_before, np.diff(line_starts))
+    rank = (kcum - 1) - offs
+    out = pdf[keep].copy()
+    out["rank"] = rank[keep]
+    return out[["line_id", "rank", "seq", "x", "y"]]
+
+
 def simplify_lines(vertices: DataFrame, eps_deg: float,
                    line_col: str = "line_id", seq_col: str = "seq",
                    lng_col: str = "lng", lat_col: str = "lat",
@@ -88,14 +170,29 @@ def simplify_lines(vertices: DataFrame, eps_deg: float,
         F.round(F.col(lat_col) * scale).cast("long").alias("y"),
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        keep = dp_keep_mask(pdf["x"].to_numpy(), pdf["y"].to_numpy(), eps2)
-        out = pdf[keep].copy()
-        out["rank"] = np.arange(len(out), dtype=np.int64)
-        return out[["line_id", "rank", "seq", "x", "y"]]
+    def run(batches):
+        # one hash partition's lines arrive line-contiguous and
+        # seq-sorted (repartition + sortWithinPartitions below);
+        # Arrow may still split a partition into several batches, so
+        # carry the tail line of each batch into the next
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            lid = pdf["line_id"].to_numpy()
+            last_start = int(np.searchsorted(lid, lid[-1], side="left"))
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            if len(head):
+                yield _simplify_block(head, eps2)
+        if carry is not None and len(carry):
+            yield _simplify_block(carry, eps2)
 
-    kept = scaled.groupBy("line_id").applyInPandas(
+    part = scaled.repartition("line_id") \
+        .sortWithinPartitions("line_id", "seq")
+    kept = part.mapInPandas(
         run, "line_id long, rank long, seq long, x long, y long")
     return kept.select(
         F.col("line_id").alias(line_col), "rank",

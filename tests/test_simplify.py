@@ -89,6 +89,30 @@ def test_degenerate_lines():
         simplify.dp_keep_mask(ix, iy, 100)).tolist() == [0, 1, 2]
 
 
+def test_batch_kernel_equals_per_line_kernel():
+    """dp_keep_mask_batch (breadth-first, many lines at once) must
+    reproduce dp_keep_mask exactly — incl. argmax tiebreaks and
+    degenerate closed-loop chords."""
+    rng = np.random.RandomState(31)
+    for trial in range(20):
+        xs, ys, starts, want = [], [], [0], []
+        for _ in range(int(rng.randint(1, 12))):
+            n = int(rng.randint(1, 150))
+            ix = rng.randint(0, 64, n).astype(np.int64)  # small range →
+            iy = rng.randint(0, 64, n).astype(np.int64)  # frequent ties
+            if n >= 3 and rng.rand() < 0.3:
+                ix[-1], iy[-1] = ix[0], iy[0]            # closed loop
+            eps2 = 64
+            want.append(simplify.dp_keep_mask(ix, iy, eps2))
+            xs.append(ix)
+            ys.append(iy)
+            starts.append(starts[-1] + n)
+        got = simplify.dp_keep_mask_batch(
+            np.concatenate(xs), np.concatenate(ys),
+            np.array(starts, np.int64), 64)
+        assert got.tolist() == np.concatenate(want).tolist(), trial
+
+
 def test_spark_operator_end_to_end(spark):
     rng = np.random.RandomState(29)
     rows = []
