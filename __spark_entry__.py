@@ -1575,6 +1575,29 @@ def events_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("point_id").cast("long"), "d2")
 
 
+def events_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell pyramid (pyramid.py): per-cell count +
+    value sum at res 8, rolled up to res 6 and 4 — each level
+    aggregates the PREVIOUS level (integer floor-division coarsening),
+    so the raw table is touched exactly once. Counts and integer value
+    sums are exact; the DuckDB oracle recomputes every level from the
+    raw table, which must agree because the aggregates reassociate."""
+    from areacity_query_geometry_spark import pyramid
+
+    _register(spark, sf_dir, ("events",))
+    points = spark.sql("""
+        SELECT CAST(event_id * 23 % 2560 AS DOUBLE) / 64 AS lng,
+               CAST(event_id * 91 % 2560 AS DOUBLE) / 64 AS lat,
+               CAST(event_id % 97 AS BIGINT) AS val
+        FROM events
+    """)
+    out = pyramid.cell_pyramid(points, finest_res=8, coarser=(6, 4),
+                               value_col="val")
+    return out.select("res", "cell_x", "cell_y",
+                      F.col("n_points").cast("long"),
+                      F.col("sum_val").cast("long").alias("sum_val"))
+
+
 def events_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas–Peucker polyline simplification (simplify.py): eight
     synthetic polylines (events partitioned by id, ordered by id)
@@ -2356,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_region_dwell": events_region_dwell,
         "events_knn_points": events_knn_points,
         "events_range_points": events_range_points,
+        "events_cell_pyramid": events_cell_pyramid,
         "events_simplify_lines": events_simplify_lines,
         "events_idw_surface": events_idw_surface,
         "events_convex_hull": events_convex_hull,
@@ -2979,6 +3003,32 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p CROSS JOIN points s
             WHERE (s.lng - p.lng) * (s.lng - p.lng)
                   + (s.lat - p.lat) * (s.lat - p.lat) <= 0.25
+        """,
+        "events_cell_pyramid": """
+            WITH p AS (
+                SELECT CAST(event_id * 23 % 2560 AS DOUBLE) / 64 AS lng,
+                       CAST(event_id * 91 % 2560 AS DOUBLE) / 64 AS lat,
+                       CAST(event_id % 97 AS BIGINT) AS val
+                FROM events
+            )
+            SELECT CAST(8 AS BIGINT) AS res,
+                   CAST(floor(lng / 1.40625) AS BIGINT) AS cell_x,
+                   CAST(floor(lat / 1.40625) AS BIGINT) AS cell_y,
+                   count(*) AS n_points,
+                   CAST(sum(val) AS BIGINT) AS sum_val
+            FROM p GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(6 AS BIGINT),
+                   CAST(floor(lng / 5.625) AS BIGINT),
+                   CAST(floor(lat / 5.625) AS BIGINT),
+                   count(*), CAST(sum(val) AS BIGINT)
+            FROM p GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT),
+                   CAST(floor(lng / 22.5) AS BIGINT),
+                   CAST(floor(lat / 22.5) AS BIGINT),
+                   count(*), CAST(sum(val) AS BIGINT)
+            FROM p GROUP BY 2, 3
         """,
         "events_simplify_lines": """
             WITH RECURSIVE pts AS (
