@@ -136,14 +136,40 @@ def dp_keep_mask_batch(ix: np.ndarray, iy: np.ndarray,
     return keep
 
 
+_CHUNK_VERTS = 1 << 16  # ~64k verts → ≤ ~5 MB of round arrays: the
+# breadth-first rounds stay cache-resident instead of streaming the
+# whole partition's hundreds of MB through memory every round (the
+# batched kernel's bandwidth cost was what broke 2→8-thread scaling
+# on this host); python overhead stays O(rounds) per chunk of ~dozens
+# of lines, not per line
+
+
 def _simplify_block(pdf: pd.DataFrame, eps2: int) -> pd.DataFrame:
     """Run the batch kernel over a line-contiguous, seq-sorted block
-    and attach per-line 0-based ranks (vectorized cumsum algebra)."""
+    and attach per-line 0-based ranks (vectorized cumsum algebra).
+    Lines are processed in cache-sized chunks of whole lines."""
     lid = pdf["line_id"].to_numpy()
     starts = np.flatnonzero(np.r_[True, lid[1:] != lid[:-1]])
     line_starts = np.r_[starts, len(lid)]
-    keep = dp_keep_mask_batch(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
-                              line_starts, eps2)
+    seqs = pdf["seq"].to_numpy()
+    interior = np.ones(len(lid), bool)
+    interior[starts] = False
+    if not (seqs[interior] > seqs[np.flatnonzero(interior) - 1]).all():
+        raise ValueError(
+            "simplify_lines: vertices not seq-sorted within line runs — "
+            "input declared clustered but is not")
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    keep = np.empty(len(lid), bool)
+    c0 = 0
+    while c0 < len(starts):
+        c1 = int(np.searchsorted(line_starts,
+                                 line_starts[c0] + _CHUNK_VERTS, "left"))
+        c1 = min(max(c1, c0 + 1), len(starts))  # ≥1 line, ≤ sentinel
+        lo, hi = line_starts[c0], line_starts[c1]
+        keep[lo:hi] = dp_keep_mask_batch(
+            x[lo:hi], y[lo:hi], line_starts[c0:c1 + 1] - lo, eps2)
+        c0 = c1
     kcum = np.cumsum(keep)
     kept_before = np.r_[0, kcum[starts[1:] - 1]] if len(starts) > 1 \
         else np.zeros(1, np.int64)
@@ -157,11 +183,23 @@ def _simplify_block(pdf: pd.DataFrame, eps2: int) -> pd.DataFrame:
 def simplify_lines(vertices: DataFrame, eps_deg: float,
                    line_col: str = "line_id", seq_col: str = "seq",
                    lng_col: str = "lng", lat_col: str = "lat",
-                   scale: int = 64) -> DataFrame:
+                   scale: int = 64,
+                   assume_clustered: bool = False) -> DataFrame:
     """vertices: one row per polyline vertex (line_col, seq_col,
     lng_col, lat_col), dyadic 1/scale coordinates, seq 0-based dense
     per line. Returns the kept vertices re-ranked:
-    (line_col, rank, seq_col, lng_col, lat_col)."""
+    (line_col, rank, seq_col, lng_col, lat_col).
+
+    assume_clustered=True skips the repartition + sort for inputs
+    whose lines are ALREADY contiguous and seq-sorted within
+    partitions with no line straddling a partition boundary — the
+    layout trajectory stores actually use (bucketed/clustered by line
+    id), and the zero-shuffle plan the engine's index paths set the
+    pattern for: the only cost left is the Arrow hop and the kernel.
+    The kernel asserts per-batch seq-contiguity, so a mis-declared
+    unsorted input fails loudly; a line SPLIT ACROSS PARTITIONS is
+    undetectable locally (each half looks valid) and yields two
+    independently simplified halves — the caller owns that contract."""
     eps2 = int(round(eps_deg * scale)) ** 2
     scaled = vertices.select(
         F.col(line_col).alias("line_id"),
@@ -176,22 +214,39 @@ def simplify_lines(vertices: DataFrame, eps_deg: float,
         # Arrow may still split a partition into several batches, so
         # carry the tail line of each batch into the next
         carry = None
+        seen: set = set()  # line-run revisit guard (clustered contract)
         for pdf in batches:
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
             lid = pdf["line_id"].to_numpy()
-            last_start = int(np.searchsorted(lid, lid[-1], side="left"))
+            bound = np.flatnonzero(lid[1:] != lid[:-1])
+            last_start = int(bound[-1]) + 1 if len(bound) else 0
             carry = pdf.iloc[last_start:]
             head = pdf.iloc[:last_start]
             if len(head):
+                hl = head["line_id"].to_numpy()
+                for g in hl[np.r_[True, hl[1:] != hl[:-1]]]:
+                    if g in seen:
+                        raise ValueError(
+                            f"simplify_lines: line {g} appears in two "
+                            "separate runs — input declared clustered "
+                            "but is not line-contiguous")
+                    seen.add(g)
                 yield _simplify_block(head, eps2)
         if carry is not None and len(carry):
+            g = carry["line_id"].iloc[0]
+            if g in seen:
+                raise ValueError(
+                    f"simplify_lines: line {g} appears in two separate "
+                    "runs — input declared clustered but is not "
+                    "line-contiguous")
             yield _simplify_block(carry, eps2)
 
-    part = scaled.repartition("line_id") \
-        .sortWithinPartitions("line_id", "seq")
+    part = scaled if assume_clustered \
+        else scaled.repartition("line_id") \
+                   .sortWithinPartitions("line_id", "seq")
     kept = part.mapInPandas(
         run, "line_id long, rank long, seq long, x long, y long")
     return kept.select(

