@@ -9,7 +9,32 @@ separate engine regressions from host noise without re-running.
 """
 from __future__ import annotations
 
+import os
 import time
+
+#: glibc malloc tunables for every process tree that runs Arrow
+#: kernels. Without them, numpy's large temporaries go through
+#: mmap/munmap on every allocate/free; on this Firecracker guest the
+#: resulting page-fault churn serializes across concurrent Python
+#: workers (measured: the DP kernel fell from 2.5M to 0.42M verts/s
+#: PER WORKER going 1→8 workers; with the thresholds raised workers
+#: hold their heap and stay at 2.0–2.9M — a 6× parallel-scaling
+#: recovery, reproduce via /tmp-style mp.Pool probe). The cost is
+#: each worker retaining its peak heap (~tens of MB here). These must
+#: be in the environment BEFORE the JVM (and hence its forked Python
+#: workers) starts — glibc reads them at process startup.
+MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+
+
+def apply_malloc_tuning() -> None:
+    """setdefault MALLOC_TUNING into os.environ. Call before creating
+    the SparkSession (the JVM inherits the driver env; local-mode
+    Python workers fork from the JVM)."""
+    for k, v in MALLOC_TUNING.items():
+        os.environ.setdefault(k, v)
 
 
 def psi_snapshot() -> dict:

@@ -20,7 +20,7 @@ import subprocess
 import sys
 import tempfile
 
-from scaling_bench import APPEND_MARKER, _fmt_runs, build_zip
+from scaling_bench import APPEND_MARKER, _fmt_runs, build_zip, MALLOC_TUNING
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- DEDUP_BENCH_BEGIN (tools/dedup_bench.py rewrites this block) -->"
@@ -31,7 +31,9 @@ def run_dedup(cpus: int, n_docs: int) -> dict:
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
-    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", LANG="C.UTF-8")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", LANG="C.UTF-8",
+               **MALLOC_TUNING)  # see hostload.MALLOC_TUNING: worker
+    # page-fault churn serialized concurrent Arrow kernels on this guest
     with tempfile.TemporaryDirectory() as neutral_cwd:
         out = subprocess.run(
             [spark_submit,

@@ -13,6 +13,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+# glibc malloc tunables BEFORE the JVM starts (workers inherit): large
+# numpy temporaries otherwise mmap/munmap per call and the page-fault
+# churn serializes concurrent Arrow kernels (hostload.MALLOC_TUNING)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 import numpy as np
 import pandas as pd

@@ -29,6 +29,9 @@ import sys
 import tempfile
 import zipfile
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from areacity_query_geometry_spark.hostload import MALLOC_TUNING  # noqa: E402
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "areacity_query_geometry_spark"
 
@@ -55,7 +58,9 @@ def run(cpus: int, lookups: int, fixture: str = "province",
         os.path.dirname(sys.executable), "spark-submit")
     # LANG must be a UTF-8 locale or the JVM's file-path encoding falls
     # back to ASCII and PATH_NOT_FOUNDs the unicode geojson fixture
-    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", LANG="C.UTF-8")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", LANG="C.UTF-8",
+               **MALLOC_TUNING)  # see hostload.MALLOC_TUNING: worker
+    # page-fault churn serialized concurrent Arrow kernels on this guest
     with tempfile.TemporaryDirectory() as neutral_cwd:
         out = subprocess.run(
             [spark_submit,
