@@ -1465,11 +1465,22 @@ def stream_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_ts", max_lag="1 hour", watermark="2 hours")
     tbl = "stream_interval_join_gate"
     spark.catalog.dropTempView(tbl)
-    q = (out.writeStream.format("memory").queryName(tbl)
-         .outputMode("append")
-         .option("checkpointLocation", "/tmp/aqgs_stream_join_v/ckpt")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    # a stream-stream join keeps FOUR state stores per partition; at
+    # the shared session's 32 shuffle partitions that is 128 HDFS-
+    # backed providers each paying a per-batch commit (~9.6 s of pure
+    # state machinery at sf0.1). State partitioning is fixed at query
+    # START from spark.sql.shuffle.partitions, so pin 8 for this query
+    # and restore — 32 providers, same results at any setting.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(tbl)
+             .outputMode("append")
+             .option("checkpointLocation", "/tmp/aqgs_stream_join_v/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return spark.table(tbl).select(
         "user_id", "view_id", "click_id",
         (F.unix_micros("click_ts")
