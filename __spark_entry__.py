@@ -68,6 +68,29 @@ def _register(spark: SparkSession, sf_dir: str, names=("events", "orders", "docu
 _STREAM_STAGE_VERSION = 1  # bump when any staged-input SQL below changes
 
 
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Context manager pinning spark.sql.shuffle.partitions (which
+    fixes a NEW streaming query's state-store partition count) for the
+    stateful stream gates: every state partition is an HDFS-backed
+    provider paying a per-batch commit, and the shared bench session's
+    32 partitions made pure state machinery dominate gate time
+    (measured 9.6 s → 3.2 s on the stream-stream join at 8). The
+    setting is restored afterwards — results are identical at any
+    value; each invocation starts from a fresh checkpoint."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    return cm()
+
+
 def _stage_stream_input(df_fn, stage: str, key: str) -> str:
     """Stage a streaming gate's input parquet ONCE per (version, key)
     and reuse it across invocations: bench times each gate twice and
@@ -1333,12 +1356,13 @@ def stream_window_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng, stream, window_dur="1 hour", watermark_delay="2 hours")
     tbl = "stream_window_gate"
     spark.catalog.dropTempView(tbl)
-    q = (out.select("win.start", "region_id", "count")
-         .writeStream.format("memory").queryName(tbl)
-         .outputMode("append")
-         .option("checkpointLocation", f"{stage}/ckpt")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (out.select("win.start", "region_id", "count")
+             .writeStream.format("memory").queryName(tbl)
+             .outputMode("append")
+             .option("checkpointLocation", f"{stage}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(tbl).join(
         F.broadcast(eng.boundaries.select(
             "region_id", F.col("id").alias("region_code"))),
@@ -1377,11 +1401,12 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_stream.stream_dedup_exact(stream)
     tbl = "stream_dedup_gate"
     spark.catalog.dropTempView(tbl)
-    q = (out.writeStream.format("memory").queryName(tbl)
-         .outputMode("append")
-         .option("checkpointLocation", f"{stage}/ckpt")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(tbl)
+             .outputMode("append")
+             .option("checkpointLocation", f"{stage}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(tbl).select("fp", "doc_id")
 
 
@@ -1420,11 +1445,12 @@ def stream_geofence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = geofence_stream.stream_geofence(eng, stream, deep=2)
     tbl = "stream_geofence_gate"
     spark.catalog.dropTempView(tbl)
-    q = (out.writeStream.format("memory").queryName(tbl)
-         .outputMode("append")
-         .option("checkpointLocation", f"{stage}/ckpt")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(tbl)
+             .outputMode("append")
+             .option("checkpointLocation", f"{stage}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(tbl).select("user_id", "point_id", "epoch_s",
                                    "from_code", "to_code")
 
@@ -1465,22 +1491,16 @@ def stream_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_ts", max_lag="1 hour", watermark="2 hours")
     tbl = "stream_interval_join_gate"
     spark.catalog.dropTempView(tbl)
-    # a stream-stream join keeps FOUR state stores per partition; at
-    # the shared session's 32 shuffle partitions that is 128 HDFS-
-    # backed providers each paying a per-batch commit (~9.6 s of pure
-    # state machinery at sf0.1). State partitioning is fixed at query
-    # START from spark.sql.shuffle.partitions, so pin 8 for this query
-    # and restore — 32 providers, same results at any setting.
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # a stream-stream join keeps FOUR state stores per partition
+    # (left/right × two layouts), the worst case for the
+    # _state_partitions rationale: 32 partitions meant 128 providers
+    # and ~9.6 s of pure per-batch commit machinery at sf0.1.
+    with _state_partitions(spark):
         q = (out.writeStream.format("memory").queryName(tbl)
              .outputMode("append")
              .option("checkpointLocation", "/tmp/aqgs_stream_join_v/ckpt")
              .trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return spark.table(tbl).select(
         "user_id", "view_id", "click_id",
         (F.unix_micros("click_ts")
