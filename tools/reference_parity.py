@@ -217,7 +217,8 @@ def adjudicate(leg: dict, pts: list[tuple[int, float, float]]) -> None:
     coords = {str(i): (lng, lat) for i, lng, lat in pts}
     t = np.linspace(0, 1, 4097)
     rows = []
-    for pid, ref_hits, my_hits in leg["examples"]:
+    for pid, ref_hits, my_hits in leg.get("all_text_mismatches",
+                                          leg["examples"]):
         lng, lat = coords[pid]
         dr, dm = dist_pairs(ref_hits), dist_pairs(my_hits)
         for fid in dr:
@@ -287,7 +288,10 @@ def compare(name: str, ref: dict[str, str], mine: dict[str, str],
             "distance_text_mismatches": len(text_bad),
             "ours_tighter_m": round(max_tighter, 4),
             "ours_larger_m": round(max_larger, 4),
-            "examples": [list(x) for x in (ids_bad[:5] + text_bad[:5])]}
+            "examples": [list(x) for x in (ids_bad[:5] + text_bad[:5])],
+            # full mismatch list so adjudication covers EVERY case,
+            # not just the display examples
+            "all_text_mismatches": [list(x) for x in text_bad]}
 
 
 def main() -> int:
