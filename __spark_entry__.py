@@ -10,6 +10,7 @@ documents/embeddings tables.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1498,7 +1499,11 @@ def stream_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _state_partitions(spark):
         q = (out.writeStream.format("memory").queryName(tbl)
              .outputMode("append")
-             .option("checkpointLocation", "/tmp/aqgs_stream_join_v/ckpt")
+             # derived from the staged path (ADVICE r4): this is exactly
+             # the {stage}/ckpt dir _stage_stream_input clears each call,
+             # so clearing and use cannot drift apart
+             .option("checkpointLocation",
+                     f"{os.path.dirname(in_v)}/ckpt")
              .trigger(availableNow=True).start())
         q.awaitTermination()
     return spark.table(tbl).select(
@@ -2368,57 +2373,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver's CORRECTNESS window checks the FIRST
+    # 50 entries only. r5 rotation (VERDICT r4 item #1): the 23 gates that
+    # had never had a driver-side row (the whole LLM-text-pipeline family
+    # plus r4 analytics, `region_poly_overlay` .. `doc_decontaminate`)
+    # lead, followed by the q1–q5 core and strongest hash-checked
+    # analytics gates up to 50. The 23 long-stable gates parked past the
+    # window (media decodes, streaming, r4 events geometry, raster
+    # coverage/vectorize) keep full local coverage via
+    # tools/check_oracles.py, which runs all 73.
     return {
-        "q1_point_region_join": q1_point_region_join,
-        "q1_sortmerge_salted": q1_sortmerge_salted,
-        "q1_wkt_echo": q1_wkt_echo,
-        "q1_where_filter": q1_where_filter,
-        "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
-        "q2_tolerance_2500m": q2_tolerance_2500m,
-        "q2_knn3_per_level": q2_knn3_per_level,
-        "q3_rect_probe_join": q3_rect_probe_join,
-        "q3_line_probe_join": q3_line_probe_join,
-        "q3_polygon_probe_join": q3_polygon_probe_join,
-        "q3_multiline_probe_join": q3_multiline_probe_join,
-        "q3_collection_probe_join": q3_collection_probe_join,
-        "q4_attribute_scan": q4_attribute_scan,
-        "q4_wkt_fetch": q4_wkt_fetch,
-        "q5_tile_stats": q5_tile_stats,
-        "q5_tiles_wkt": q5_tiles_wkt,
-        "doc_geo_join": doc_geo_join,
-        "media_span_features": media_span_features,
-        "media_image_decode": media_image_decode,
-        "media_png_decode": media_png_decode,
-        "media_rgb_decode": media_rgb_decode,
-        "media_jpeg_decode": media_jpeg_decode,
-        "media_wav_decode": media_wav_decode,
-        "media_resize_real": media_resize_real,
-        "media_audio_frames": media_audio_frames,
-        "media_video_frames": media_video_frames,
-        "region_doc_rollup": region_doc_rollup,
-        "corpus_curation": corpus_curation,
-        "top_docs_by_quality": top_docs_by_quality,
-        "region_doc_set_ops": region_doc_set_ops,
-        "stream_point_lookup_gate": stream_point_lookup_gate,
-        "stream_window_counts_gate": stream_window_counts_gate,
-        "stream_dedup_gate": stream_dedup_gate,
-        "stream_geofence_gate": stream_geofence_gate,
-        "stream_interval_join_gate": stream_interval_join_gate,
-        "lineitem_pricing_summary": lineitem_pricing_summary,
-        "events_asof_join": events_asof_join,
-        "events_range_join": events_range_join,
-        "events_region_dwell": events_region_dwell,
-        "events_knn_points": events_knn_points,
-        "events_range_points": events_range_points,
-        "events_cell_pyramid": events_cell_pyramid,
-        "events_simplify_lines": events_simplify_lines,
-        "events_idw_surface": events_idw_surface,
-        "events_convex_hull": events_convex_hull,
-        "events_density_clusters": events_density_clusters,
-        "raster_coverage": raster_coverage,
-        "raster_vectorize": raster_vectorize,
-        "region_overlay_area": region_overlay_area,
-        "raster_zonal_sum": raster_zonal_sum,
+        # --- 23 gates rotated INTO the driver window (never checked r1-r4)
         "region_poly_overlay": region_poly_overlay,
         "region_line_length": region_line_length,
         "doc_repetition_filter": doc_repetition_filter,
@@ -2442,6 +2407,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": doc_split_assign,
         "doc_pack_chunks": doc_pack_chunks,
         "doc_decontaminate": doc_decontaminate,
+        # --- core q1-q5 + strongest analytics gates (27 more => window=50)
+        "q1_point_region_join": q1_point_region_join,
+        "q1_sortmerge_salted": q1_sortmerge_salted,
+        "q1_wkt_echo": q1_wkt_echo,
+        "q1_where_filter": q1_where_filter,
+        "q2_nearest_region_tolerance": q2_nearest_region_tolerance,
+        "q2_tolerance_2500m": q2_tolerance_2500m,
+        "q2_knn3_per_level": q2_knn3_per_level,
+        "q3_rect_probe_join": q3_rect_probe_join,
+        "q3_line_probe_join": q3_line_probe_join,
+        "q3_polygon_probe_join": q3_polygon_probe_join,
+        "q3_multiline_probe_join": q3_multiline_probe_join,
+        "q3_collection_probe_join": q3_collection_probe_join,
+        "q4_attribute_scan": q4_attribute_scan,
+        "q4_wkt_fetch": q4_wkt_fetch,
+        "q5_tile_stats": q5_tile_stats,
+        "q5_tiles_wkt": q5_tiles_wkt,
+        "doc_geo_join": doc_geo_join,
+        "region_doc_rollup": region_doc_rollup,
+        "corpus_curation": corpus_curation,
+        "top_docs_by_quality": top_docs_by_quality,
+        "region_doc_set_ops": region_doc_set_ops,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
+        "region_overlay_area": region_overlay_area,
+        "raster_zonal_sum": raster_zonal_sum,
+        "media_image_decode": media_image_decode,
+        # --- parked past the 50-entry driver window (driver-green in
+        # --- r1-r4; still value-checked every round by check_oracles)
+        "media_span_features": media_span_features,
+        "media_png_decode": media_png_decode,
+        "media_rgb_decode": media_rgb_decode,
+        "media_jpeg_decode": media_jpeg_decode,
+        "media_wav_decode": media_wav_decode,
+        "media_resize_real": media_resize_real,
+        "media_audio_frames": media_audio_frames,
+        "media_video_frames": media_video_frames,
+        "stream_point_lookup_gate": stream_point_lookup_gate,
+        "stream_window_counts_gate": stream_window_counts_gate,
+        "stream_dedup_gate": stream_dedup_gate,
+        "stream_geofence_gate": stream_geofence_gate,
+        "stream_interval_join_gate": stream_interval_join_gate,
+        "events_region_dwell": events_region_dwell,
+        "events_knn_points": events_knn_points,
+        "events_range_points": events_range_points,
+        "events_cell_pyramid": events_cell_pyramid,
+        "events_simplify_lines": events_simplify_lines,
+        "events_idw_surface": events_idw_surface,
+        "events_convex_hull": events_convex_hull,
+        "events_density_clusters": events_density_clusters,
+        "raster_coverage": raster_coverage,
+        "raster_vectorize": raster_vectorize,
     }
 
 

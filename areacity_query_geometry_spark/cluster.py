@@ -140,6 +140,20 @@ def grid_density_clusters(points: DataFrame, lng_col: str = "lng",
                     + F.col("cell_y") + half)
         .localCheckpoint(eager=True))
 
+    # Key packing is collision-free only while |cell index| < stride/2;
+    # a small cell_deg over wide-range coordinates would otherwise alias
+    # keys silently, creating phantom adjacency edges and merged
+    # clusters (ADVICE r4). The dense-cell set is already materialized
+    # by the localCheckpoint, so the bound check is one tiny agg.
+    ext = cells.agg(
+        F.greatest(F.max(F.abs("cell_x")),
+                   F.max(F.abs("cell_y"))).alias("m")).collect()[0]["m"]
+    if ext is not None and ext >= half:
+        raise ValueError(
+            f"grid_density_clusters: max |cell index| {ext} >= "
+            f"key_stride/2 ({half}); cell keys would alias. Raise "
+            f"key_stride (>= {2 * (ext + 1)}) or use a coarser cell_deg.")
+
     # 8-neighbour adjacency among dense cells: generate each cell's
     # neighbour keys JVM-side (two tiny sequence explodes), equi-join
     # back to the dense set. a < b keeps each undirected edge once.

@@ -138,12 +138,17 @@ def convex_hull(points: DataFrame, group_col: str = "group_id",
     ONE hash exchange of hull-sized rows → applyInPandas merge.
     """
     spark = points.sparkSession
+    # Intermediate schemas carry the caller's group column type through
+    # both Arrow hops — a long/int group id must not be forced to string
+    # (ADVICE r4: hardcoded 'g string' broke non-string group columns at
+    # Arrow conversion inside mapInPandas).
+    g_type = points.schema[group_col].dataType.simpleString()
     scaled = points.select(
         F.col(group_col).alias("g"),
         F.round(F.col(lng_col) * scale).cast("long").alias("x"),
         F.round(F.col(lat_col) * scale).cast("long").alias("y"),
     )
-    schema = "g string, x long, y long"
+    schema = f"g {g_type}, x long, y long"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,7 +156,7 @@ def convex_hull(points: DataFrame, group_col: str = "group_id",
 
     partials = scaled.mapInPandas(partial, schema=schema)
 
-    out_schema = "g string, rank long, x long, y long"
+    out_schema = f"g {g_type}, rank long, x long, y long"
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         red = _reduce_batch(pdf)

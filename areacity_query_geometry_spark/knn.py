@@ -90,7 +90,20 @@ def range_point_join(probes: DataFrame, points: DataFrame,
     only refinement. Same cost model as one knn_point_join round:
     probe fan-out = the box's cell count, equi-join on cell_id, never
     a cross join. Returns (probe_id, point_id, d2, *point_cols) —
-    `point_cols` ride the one cell equi-join for free."""
+    `point_cols` ride the one cell equi-join for free.
+
+    point_cols may not collide with the join's internal/probe-side
+    names (probe_id, lng, lat, rho, cell_id, d2, ...) — they would bind
+    ambiguously in the cell equi-join; rejected up front (ADVICE r4)."""
+    reserved = {"probe_id", "lng", "lat", "rho", "full_box", "cell_id",
+                "d2", "point_id", "plng", "plat",
+                "ix", "iy", "ix0", "ix1", "iy0", "iy1"}
+    bad = sorted(reserved.intersection(point_cols))
+    if bad:
+        raise ValueError(
+            f"range_point_join: point_cols {bad} collide with internal "
+            f"join column names; alias them on the points side first "
+            f"(e.g. SELECT {bad[0]} AS p_{bad[0]})")
     w = 360.0 / (1 << res)
     n = 1 << res
     pack = (f"(CAST({res} AS BIGINT) * {1 << grid._RES_SHIFT}L"

@@ -11,22 +11,36 @@ only meet inside a (band, signature) bucket — no all-pairs anywhere) →
 exact Jaccard verification of the candidates.
 
 Scale shape at 10^12 docs: the only wide shuffles are keyed by doc_id
-(signature build) and by (band, bsig) (bucket join); hot buckets are
-bounded because a bucket is an exact K/bands-row signature match —
-only true near-duplicates collide. Everything is deterministic integer
-arithmetic (md5-prefix mod P), identical across engines and
-parallelism levels.
+(signature build) and by (band, bsig) (bucket join); a bucket is an
+exact K/bands-row signature match, so only true near-duplicates
+collide — but a boilerplate-heavy corpus (millions of near-identical
+templated docs surviving exact dedup) can still make one bucket huge,
+and an unguarded self-join is quadratic in it. Since r5 (VERDICT r4
+"what's wrong" #3) buckets past `max_bucket` rows fall back to a STAR
+expansion: every member pairs with the bucket's min-doc_id
+representative only, bounding per-bucket candidates at n-1 while
+preserving the connectivity the downstream connected-components
+clustering needs (all members stay reachable through the rep). Below
+the cap the output is byte-identical to the unguarded query. Per the
+no-silent-caps rule, `capped_buckets_sql` reports exactly which
+buckets degraded; tools/submit_dedup.py logs the count per run.
+Everything is deterministic integer arithmetic (md5-prefix mod P),
+identical across engines and parallelism levels.
 """
 from __future__ import annotations
 
 MH_P = 1_000_000_007
+MAX_BUCKET = 256
 
 
 def near_dup_sql(view: str, n_hashes: int = 16, band_rows: int = 4,
-                 min_jaccard: float = 0.05) -> str:
+                 min_jaccard: float = 0.05,
+                 max_bucket: int = MAX_BUCKET) -> str:
     """The full near-dup query over `view`(doc_id, text). Returns
     (d1, d2, jaccard) for every verified candidate pair ≥ min_jaccard.
-    n_hashes must be a multiple of band_rows."""
+    n_hashes must be a multiple of band_rows. Buckets larger than
+    max_bucket emit star pairs (rep, other) instead of all pairs —
+    see the module docstring; pass max_bucket=None to disable."""
     assert n_hashes % band_rows == 0
     mins = ", ".join(
         f"min(({2 * i + 3} * h0 + {7 * i + 11}) % {MH_P}) AS mh{i}"
@@ -64,9 +78,24 @@ def near_dup_sql(view: str, n_hashes: int = 16, band_rows: int = 4,
                        concat(CAST(i AS STRING), ':', CAST(mh AS STRING)))), '-') AS bsig
             FROM sig GROUP BY doc_id, CAST(floor(i / {band_rows}) AS INT)
         ),
+        bsz AS (
+            SELECT band, bsig, count(*) AS n, min(doc_id) AS rep
+            FROM bands GROUP BY band, bsig
+        ),
+        -- hot-bucket guard: restrict the LEFT side of the self-join
+        -- BEFORE the join (so Catalyst never materializes n^2 rows for
+        -- an oversized bucket) — small buckets keep every member on the
+        -- left (full pairwise), capped buckets keep only the rep (star)
+        lhs AS (
+            SELECT a.doc_id, a.band, a.bsig
+            FROM bands a JOIN bsz z
+              ON a.band = z.band AND a.bsig = z.bsig
+            WHERE z.n <= {int(max_bucket) if max_bucket is not None else 'z.n'}
+               OR a.doc_id = z.rep
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b
+            FROM lhs a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
@@ -83,4 +112,20 @@ def near_dup_sql(view: str, n_hashes: int = 16, band_rows: int = 4,
         JOIN counts c1 ON v.d1 = c1.doc_id
         JOIN counts c2 ON v.d2 = c2.doc_id
         WHERE CAST(v.shared AS DOUBLE) / (c1.n + c2.n - v.shared) >= {min_jaccard}
+    """
+
+
+def capped_buckets_sql(view: str, n_hashes: int = 16, band_rows: int = 4,
+                       max_bucket: int = MAX_BUCKET) -> str:
+    """No-silent-caps companion to near_dup_sql: one row per (band,
+    bsig) bucket that exceeded max_bucket and therefore degraded to the
+    star expansion, with its size. Reuses the signature pipeline up to
+    `bands` verbatim (same CTE text → same plan prefix)."""
+    full = near_dup_sql(view, n_hashes, band_rows, max_bucket=max_bucket)
+    prefix = full.split("        bsz AS (")[0]
+    return f"""{prefix}        bsz AS (
+            SELECT band, bsig, count(*) AS n
+            FROM bands GROUP BY band, bsig
+        )
+        SELECT band, bsig, n FROM bsz WHERE n > {int(max_bucket)}
     """

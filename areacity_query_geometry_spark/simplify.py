@@ -199,8 +199,22 @@ def simplify_lines(vertices: DataFrame, eps_deg: float,
     The kernel asserts per-batch seq-contiguity, so a mis-declared
     unsorted input fails loudly; a line SPLIT ACROSS PARTITIONS is
     undetectable locally (each half looks valid) and yields two
-    independently simplified halves — the caller owns that contract."""
-    eps2 = int(round(eps_deg * scale)) ** 2
+    independently simplified halves — the caller owns that contract.
+
+    The tolerance is quantized to the 1/scale lattice: the kernel
+    compares integer-lattice squared distances against
+    round(eps_deg*scale)^2, so any eps_deg below 1/(2*scale) snaps to
+    0 (keep every non-collinear vertex). That sub-lattice request is
+    almost certainly a unit mistake, so it warns (ADVICE r4)."""
+    eps_l = int(round(eps_deg * scale))
+    if eps_deg > 0 and eps_l == 0:
+        import warnings
+        warnings.warn(
+            f"simplify_lines: eps_deg={eps_deg!r} is below the 1/{scale} "
+            f"coordinate lattice and quantizes to 0 (no simplification "
+            f"beyond collinear removal); smallest effective tolerance "
+            f"is {1.0 / (2 * scale)} deg", stacklevel=2)
+    eps2 = eps_l ** 2
     scaled = vertices.select(
         F.col(line_col).alias("line_id"),
         F.col(seq_col).cast("long").alias("seq"),

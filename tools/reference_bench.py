@@ -45,13 +45,13 @@ PHI = 0.6180339887498949
 RHO = 0.7548776662466927
 
 
-def run_ref(n: int, threads: int, runs: int) -> dict:
+def run_ref(n: int, threads: int, runs: int, fixture: str) -> dict:
     best = None
     for _ in range(runs):
         env = dict(os.environ, LANG="C.UTF-8")
         out = subprocess.run(
-            ["java", "-cp", f"{rp.BUILD}:{rp.JTS}",
-             "refparity.RefParityDriver", rp.FIXTURE, "bench",
+            ["java", "-Xmx24g", "-cp", f"{rp.BUILD}:{rp.JTS}",
+             "refparity.RefParityDriver", fixture, "bench",
              str(n), str(threads)],
             check=True, env=env, capture_output=True, text=True).stdout
         m = re.search(r"refbench threads=(\d+) n=(\d+) sec=([\d.]+) "
@@ -89,11 +89,11 @@ def spark_leg(spark, eng, n: int, runs: int) -> dict:
     return best
 
 
-def write_block(text: str) -> None:
+def write_block(text: str, begin: str = BEGIN, end: str = END) -> None:
     md = open(BASELINE_MD, encoding="utf-8").read()
-    block = f"{BEGIN}\n{text}\n{END}"
-    if BEGIN in md:
-        md = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END),
+    block = f"{begin}\n{text}\n{end}"
+    if begin in md:
+        md = re.sub(re.escape(begin) + r".*?" + re.escape(end),
                     lambda _: block, md, flags=re.S)
     else:
         md = md.rstrip() + "\n\n\n" + block + "\n"
@@ -105,15 +105,32 @@ def main() -> int:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n8 = int(sys.argv[2]) if len(sys.argv) > 2 else 1_600_000
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # "province" (34 features, original head-to-head) or "dense"
+    # (synthetic 3,502-feature prov+city+district set — the density the
+    # reference's own README benchmarks at; VERDICT r4 stretch #9. The
+    # dense fixture is one-feature-per-line GeoJSON, which the
+    # reference's line scan inits directly.)
+    which = sys.argv[4] if len(sys.argv) > 4 else "province"
+    if which == "dense":
+        from areacity_query_geometry_spark import fixtures_dense
+
+        fixture_path = fixtures_dense.ensure()  # ASCII /tmp path
+        base_res = 13
+    else:
+        fixture_path = rp.SUITES["province"]["link"]
+        base_res = 10
 
     rp.compile_oracle()
     print("reference legs...", flush=True)
-    ref1 = run_ref(n1, 1, runs)
-    ref8 = run_ref(n8, 8, runs)
+    ref1 = run_ref(n1, 1, runs, fixture_path)
+    ref8 = run_ref(n8, 8, runs, fixture_path)
     print(f"ref 1t: {ref1}  ref 8t: {ref8}", flush=True)
 
-    spark, eng = rp.spark_engine()
+    spark = rp.spark_session()
     try:
+        eng = rp.spark_engine(
+            spark, rp.FIXTURE_CN if which == "province" else fixture_path,
+            base_res)
         my1 = spark_leg(spark, eng, n1, max(runs, 3))
         my8 = spark_leg(spark, eng, n8, max(runs, 3))
     finally:
@@ -123,14 +140,21 @@ def main() -> int:
     ok1 = my1["hits"] == ref1["hits"]
     ok8 = my8["hits"] == ref8["hits"]
 
+    fixture_desc = ("the reference's committed province fixture"
+                    if which == "province" else
+                    "the synthetic 3,502-feature prov+city+district set "
+                    "(fixtures_dense.py — the density the reference's own "
+                    "README benchmarks at; both engines init the SAME "
+                    "generated GeoJSON)")
     lines = [
-        "## Reference engine vs this engine — SAME host, SAME probes",
+        "## Reference engine vs this engine — SAME host, SAME probes"
+        + ("" if which == "province" else " (reference density)"),
         "",
         "The unmodified reference (compiled from /root/reference, its",
         "own JTS jar, its own Test.java speed-test methodology: QueryPoint",
         "over the 98..123°E × 21..43°N box, Result cleared per call) and",
-        "this engine answer the IDENTICAL deterministic golden-ratio probe",
-        "sequence on the reference's committed province fixture, on this",
+        f"this engine answer the IDENTICAL deterministic golden-ratio probe",
+        f"sequence on {fixture_desc}, on this",
         "machine. Total hit counts are asserted EQUAL — the throughput",
         "table is simultaneously a large-probe-set correctness check.",
         "Best-of-N wall times (tools/reference_bench.py):",
@@ -159,7 +183,13 @@ def main() -> int:
         "counts — the amortized rate at 400M probes is the headline",
         "table at the top of this file.",
     ]
-    write_block("\n".join(lines))
+    if which == "dense":
+        write_block("\n".join(lines),
+                    begin="<!-- REFBENCH_DENSE_BEGIN "
+                          "(tools/reference_bench.py rewrites this block) -->",
+                    end="<!-- REFBENCH_DENSE_END -->")
+    else:
+        write_block("\n".join(lines))
     print(json.dumps({"ref_1t": ref1, "ref_8t": ref8,
                       "spark_n1": my1, "spark_n8": my8,
                       "hits_equal": ok1 and ok8}))

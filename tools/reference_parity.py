@@ -43,23 +43,54 @@ sys.path.insert(0, REPO)
 REF_DIR = "/root/reference"
 FIXTURE_CN = os.path.join(
     REF_DIR, "仅供测试-全国省级GeoJSON数据-大幅简化粗略版.json")
-FIXTURE = "/tmp/refparity_province.json"  # ASCII symlink (JVM locale-proof)
+FIXTURE_WORLD = os.path.join(
+    REF_DIR, "仅供测试-世界七大洲GeoJSON数据-大幅简化粗略版.json")
 JTS = os.path.join(REF_DIR, "jts-core-1.18.2.jar")
 BUILD = "/tmp/refparity_build"
 DRIVER_SRC = os.path.join(REPO, "tools", "refparity", "RefParityDriver.java")
 
-# probe window: the fixture's bbox (≈ 73.5..135.1 lng, 18.2..53.6 lat)
-# padded ~1° so coastal / outside-border regimes fire. All lattice
-# steps are dyadic so both JVMs parse bit-identical doubles.
-LNG0, LNG1 = 72.0, 136.0
-LAT0, LAT1 = 17.0, 54.0
+# Suites (VERDICT r4 next-round #7): the original province run, plus
+# the reference's OWN second committed fixture — the 9-feature world
+# continents file (planet-spanning polygons, a completely different
+# CRS density regime), plus where-filtered legs on the province set.
+# Probe windows pad each fixture's bbox so coastal / outside-border
+# regimes fire; all lattice steps are dyadic so both JVMs parse
+# bit-identical doubles. step_mult coarsens the world lattices (same
+# probe-count order of magnitude over a 28x larger window).
+SUITES = {
+    "province": {
+        "src": FIXTURE_CN,
+        "link": "/tmp/refparity_province.json",
+        "bbox": (72.0, 136.0, 17.0, 54.0),
+        "base_res": 10,
+        "step_mult": 1.0,
+        "where_legs": True,
+        "blurb": "34 province features, the original leg",
+    },
+    "continents": {
+        "src": FIXTURE_WORLD,
+        "link": "/tmp/refparity_continents.json",
+        "bbox": (-180.0, 180.0, -85.0, 85.0),
+        "base_res": 7,
+        "step_mult": 4.0,
+        "where_legs": False,
+        "blurb": "9 world-continent features — planet-sized polygons, "
+                 "different CRS density (reference's second committed "
+                 "fixture)",
+    },
+}
 
 TOL_LEGS = (2500, 25000)
+# both engines keep features with even numeric id: the reference via a
+# Func<String,Boolean> over the prop json (driver arg "where-even"),
+# this engine via its SQL where predicate over boundary columns
+WHERE_SQL = "CAST(id AS BIGINT) % 2 = 0"
 
 
 def compile_oracle() -> None:
-    if not os.path.islink(FIXTURE) and not os.path.exists(FIXTURE):
-        os.symlink(FIXTURE_CN, FIXTURE)
+    for s in SUITES.values():
+        if not os.path.islink(s["link"]) and not os.path.exists(s["link"]):
+            os.symlink(s["src"], s["link"])
     os.makedirs(BUILD, exist_ok=True)
     marker = os.path.join(BUILD, "refparity", "RefParityDriver.class")
     if os.path.exists(marker) and \
@@ -71,16 +102,21 @@ def compile_oracle() -> None:
         check=True)
 
 
-def run_oracle(mode: str, probes: list[str], tol: int | None = None
+def run_oracle(fixture_link: str, mode: str, probes: list[str],
+               tol: int | None = None, where: bool = False
                ) -> tuple[dict[str, str], float]:
-    pf = f"/tmp/refparity_{mode}_probes.tsv"
-    of = f"/tmp/refparity_{mode}_out.tsv"
+    tag = f"{os.path.basename(fixture_link).split('.')[0]}_{mode}" \
+          + ("_where" if where else "")
+    pf = f"/tmp/refparity_{tag}_probes.tsv"
+    of = f"/tmp/refparity_{tag}_out.tsv"
     with open(pf, "w", encoding="utf-8") as f:
         f.write("\n".join(probes) + "\n")
     cmd = ["java", "-cp", f"{BUILD}:{JTS}", "refparity.RefParityDriver",
-           FIXTURE, mode, pf, of]
-    if tol is not None:
-        cmd.append(str(tol))
+           fixture_link, mode, pf, of]
+    if tol is not None or where:
+        cmd.append(str(tol if tol is not None else 2500))
+    if where:
+        cmd.append("where-even")
     env = dict(os.environ, LANG="C.UTF-8")
     t0 = time.time()
     subprocess.run(cmd, check=True, env=env, stdout=subprocess.DEVNULL)
@@ -102,20 +138,25 @@ def frange(a: float, b: float, step: float) -> list[float]:
     return out
 
 
-def lattice(step: float) -> list[tuple[int, float, float]]:
+def lattice(step: float,
+            bbox: tuple[float, float, float, float]
+            ) -> list[tuple[int, float, float]]:
+    lng0, lng1, lat0, lat1 = bbox
     pts, i = [], 0
-    for lat in frange(LAT0, LAT1, step):
-        for lng in frange(LNG0, LNG1, step):
+    for lat in frange(lat0, lat1, step):
+        for lng in frange(lng0, lng1, step):
             pts.append((i, lng, lat))
             i += 1
     return pts
 
 
-def geom_probes(step: float) -> list[tuple[int, str]]:
+def geom_probes(step: float,
+                bbox: tuple[float, float, float, float]
+                ) -> list[tuple[int, str]]:
     """Rect / line / diamond probes cycling across the lattice — the
     same three shapes the reference's own Test.java exercises."""
     out = []
-    for i, lng, lat in lattice(step):
+    for i, lng, lat in lattice(step, bbox):
         k = i % 3
         if k == 0:  # rect, ≙ CreateRect(AreaCityQuery.java:1407)
             w = 0.15
@@ -132,10 +173,8 @@ def geom_probes(step: float) -> list[tuple[int, str]]:
     return out
 
 
-def spark_engine():
+def spark_session():
     from pyspark.sql import SparkSession
-
-    from areacity_query_geometry_spark.engine import SpatialEngine
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("refparity")
@@ -143,15 +182,21 @@ def spark_engine():
              .config("spark.driver.memory", "8g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    eng = SpatialEngine.from_geojson(spark, FIXTURE_CN, base_res=10)
-    return spark, eng
+    return spark
 
 
-def spark_points(spark, eng, pts) -> dict[str, str]:
+def spark_engine(spark, src: str, base_res: int):
+    from areacity_query_geometry_spark.engine import SpatialEngine
+
+    return SpatialEngine.from_geojson(spark, src, base_res=base_res)
+
+
+def spark_points(spark, eng, pts, where: str | None = None) -> dict[str, str]:
     df = spark.createDataFrame(
         [(i, lng, lat) for i, lng, lat in pts],
         "point_id long, lng double, lat double")
-    rows = eng.query_points(df).select("point_id", "id").collect()
+    rows = eng.query_points(df, where=where) \
+              .select("point_id", "id").collect()
     m: dict[str, list[str]] = {}
     for r in rows:
         m.setdefault(str(r.point_id), []).append(r.id)
@@ -172,16 +217,19 @@ def spark_tolerance(spark, eng, pts, tol_m) -> dict[str, str]:
     return {str(i): ",".join(sorted(m.get(str(i), []))) for i, _, _ in pts}
 
 
-def spark_geometry(spark, eng, probes) -> dict[str, str]:
+def spark_geometry(spark, eng, probes, where: str | None = None
+                   ) -> dict[str, str]:
     df = spark.createDataFrame(probes, "probe_id long, wkt string")
-    rows = eng.query_geometry(df).select("probe_id", "id").collect()
+    rows = eng.query_geometry(df, where=where) \
+              .select("probe_id", "id").collect()
     m: dict[str, list[str]] = {}
     for r in rows:
         m.setdefault(str(r.probe_id), []).append(r.id)
     return {str(i): ",".join(sorted(m.get(str(i), []))) for i, _ in probes}
 
 
-def adjudicate(leg: dict, pts: list[tuple[int, float, float]]) -> None:
+def adjudicate(leg: dict, pts: list[tuple[int, float, float]],
+               src: str = FIXTURE_CN) -> None:
     """For every distance-text mismatch, recompute the TRUE minimum
     haversine distance to the feature by brute force — every boundary
     segment of the raw geojson ring sampled at 4097 planar parameters,
@@ -200,7 +248,7 @@ def adjudicate(leg: dict, pts: list[tuple[int, float, float]]) -> None:
         return 2 * R * np.arcsin(np.sqrt(a))
 
     feats: dict[str, dict] = {}
-    with open(FIXTURE_CN, encoding="utf-8") as f:
+    with open(src, encoding="utf-8") as f:
         for line in f:
             line = line.strip().rstrip(",")
             if not line.startswith('{"type":"Feature"'):
@@ -294,47 +342,77 @@ def compare(name: str, ref: dict[str, str], mine: dict[str, str],
             "all_text_mismatches": [list(x) for x in text_bad]}
 
 
+def run_suite(spark, name: str, cfg: dict, point_step: float,
+              tol_step: float, geom_step: float) -> list[dict]:
+    mult = cfg["step_mult"]
+    pstep, tstep, gstep = (point_step * mult, tol_step * mult,
+                           geom_step * mult)
+    bbox, link = cfg["bbox"], cfg["link"]
+    pts = lattice(pstep, bbox)
+    tol_pts = lattice(tstep, bbox)
+    gprobes = geom_probes(gstep, bbox)
+    print(f"[{name}] probes: point={len(pts)} "
+          f"tol={len(tol_pts)}x{len(TOL_LEGS)} geom={len(gprobes)}",
+          flush=True)
+
+    pt_lines = [f"{i}\t{lng!r}\t{lat!r}" for i, lng, lat in pts]
+    tol_lines = [f"{i}\t{lng!r}\t{lat!r}" for i, lng, lat in tol_pts]
+    geo_lines = [f"{i}\t{wkt}" for i, wkt in gprobes]
+
+    ref_pt, s1 = run_oracle(link, "point", pt_lines)
+    ref_tols = {}
+    for tol in TOL_LEGS:
+        ref_tols[tol], s2 = run_oracle(link, "tolerance", tol_lines,
+                                       tol=tol)
+    ref_geo, s3 = run_oracle(link, "geometry", geo_lines)
+    print(f"[{name}] reference answered: point {s1:.1f}s, "
+          f"last tolerance {s2:.1f}s, geometry {s3:.1f}s", flush=True)
+
+    eng = spark_engine(spark, cfg["src"], cfg["base_res"])
+    my_pt = spark_points(spark, eng, pts)
+    my_tols = {tol: spark_tolerance(spark, eng, tol_pts, tol)
+               for tol in TOL_LEGS}
+    my_geo = spark_geometry(spark, eng, gprobes)
+
+    legs = [compare(f"{name}: QueryPoint", ref_pt, my_pt)]
+    for tol in TOL_LEGS:
+        leg = compare(f"{name}: QueryPointWithTolerance({tol}m)",
+                      ref_tols[tol], my_tols[tol], dist_mode=True)
+        if leg["distance_text_mismatches"]:
+            adjudicate(leg, tol_pts, src=cfg["src"])
+        legs.append(leg)
+    legs.append(compare(f"{name}: QueryGeometry", ref_geo, my_geo))
+
+    if cfg.get("where_legs"):
+        # where-filtered legs (VERDICT r4 #7): reference runs its
+        # Func<String,Boolean> prop filter, this engine its SQL
+        # predicate — both keep even-numeric-id features only
+        ref_ptw, _ = run_oracle(link, "point", tol_lines, where=True)
+        my_ptw = spark_points(spark, eng, tol_pts, where=WHERE_SQL)
+        legs.append(compare(f"{name}: QueryPoint[where even-id]",
+                            ref_ptw, my_ptw))
+        ref_geow, _ = run_oracle(link, "geometry", geo_lines, where=True)
+        my_geow = spark_geometry(spark, eng, gprobes, where=WHERE_SQL)
+        legs.append(compare(f"{name}: QueryGeometry[where even-id]",
+                            ref_geow, my_geow))
+    return legs
+
+
 def main() -> int:
     point_step = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     tol_step = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     geom_step = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    suites = sys.argv[4].split(",") if len(sys.argv) > 4 else list(SUITES)
 
     compile_oracle()
-    pts = lattice(point_step)
-    tol_pts = lattice(tol_step)
-    gprobes = geom_probes(geom_step)
-    print(f"probes: point={len(pts)} tol={len(tol_pts)}x{len(TOL_LEGS)} "
-          f"geom={len(gprobes)}", flush=True)
-
-    ref_pt, s1 = run_oracle(
-        "point", [f"{i}\t{lng!r}\t{lat!r}" for i, lng, lat in pts])
-    ref_tols = {}
-    for tol in TOL_LEGS:
-        ref_tols[tol], s2 = run_oracle(
-            "tolerance",
-            [f"{i}\t{lng!r}\t{lat!r}" for i, lng, lat in tol_pts], tol=tol)
-    ref_geo, s3 = run_oracle(
-        "geometry", [f"{i}\t{wkt}" for i, wkt in gprobes])
-    print(f"reference answered: point {s1:.1f}s, last tolerance {s2:.1f}s, "
-          f"geometry {s3:.1f}s", flush=True)
-
-    spark, eng = spark_engine()
+    spark = spark_session()
+    legs = []
     try:
-        my_pt = spark_points(spark, eng, pts)
-        my_tols = {tol: spark_tolerance(spark, eng, tol_pts, tol)
-                   for tol in TOL_LEGS}
-        my_geo = spark_geometry(spark, eng, gprobes)
+        for name in suites:
+            legs += run_suite(spark, name, SUITES[name], point_step,
+                              tol_step, geom_step)
     finally:
         spark.stop()
-
-    legs = [compare("QueryPoint", ref_pt, my_pt)]
-    for tol in TOL_LEGS:
-        leg = compare(f"QueryPointWithTolerance({tol}m)",
-                      ref_tols[tol], my_tols[tol], dist_mode=True)
-        if leg["distance_text_mismatches"]:
-            adjudicate(leg, tol_pts)
-        legs.append(leg)
-    legs.append(compare("QueryGeometry", ref_geo, my_geo))
     report(legs, point_step, tol_step, geom_step)
     print(json.dumps(legs, ensure_ascii=False))
     bad = sum(l["hitset_mismatches"] for l in legs)
@@ -348,14 +426,21 @@ def report(legs, point_step, tol_step, geom_step) -> None:
         "",
         "The unmodified reference (`AreaCityQuery.java` + its bundled JTS",
         "jar, compiled in /tmp, never copied here) and this repo's Spark",
-        "engine answered IDENTICAL probe sets over the reference's own",
-        "committed province fixture (34 features). Black-box driver:",
+        "engine answered IDENTICAL probe sets over BOTH of the",
+        "reference's committed fixtures — the 34-feature China province",
+        "set and the 9-feature world continents set (planet-sized",
+        "polygons, a different CRS density regime) — plus where-filtered",
+        "legs exercising the reference's `Func<String,Boolean>` prop",
+        "filter against this engine's SQL `where` (both keep",
+        "even-numeric-id features). Black-box driver:",
         "`tools/refparity/RefParityDriver.java`; harness:",
         "`tools/reference_parity.py` (re-run any time).",
         "",
-        f"Probe lattices (dyadic steps, bbox padded 1°): points "
+        f"Probe lattices (dyadic steps, bbox padded): points "
         f"{point_step}°, tolerance {tol_step}° at {list(TOL_LEGS)} m, "
-        f"geometry {geom_step}° cycling rect / line / diamond WKT.",
+        f"geometry {geom_step}° cycling rect / line / diamond WKT; "
+        f"continents lattices run at 4× these steps over the ±180/±85 "
+        f"window.",
         "",
         "| leg | probes | exact matches | hit-set mismatches | "
         "distance-text mismatches | ours tighter by (m) | "

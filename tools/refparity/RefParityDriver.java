@@ -48,6 +48,26 @@ public class RefParityDriver {
         String probesFile = args[2];
         String outFile = args[3];
         int tol = args.length > 4 ? Integer.parseInt(args[4]) : 2500;
+        // trailing "where-even" arg: exercise the reference's
+        // Func<String,Boolean> where hook (AreaCityQuery.java:87/179)
+        // with a predicate both engines can express — keep features
+        // whose numeric id is even
+        AreaCityQuery.Func<String, Boolean> where = null;
+        for (String a : args) {
+            if (a.equals("where-even")) {
+                where = new AreaCityQuery.Func<String, Boolean>() {
+                    public Boolean Exec(String prop) {
+                        Matcher m = ID.matcher(prop);
+                        if (!m.find()) return false;
+                        try {
+                            return Long.parseLong(m.group(1)) % 2 == 0;
+                        } catch (NumberFormatException e) {
+                            return false;
+                        }
+                    }
+                };
+            }
+        }
 
         AreaCityQuery q = AreaCityQuery.Instances[0];
         q.Init_StoreInMemory(geojson, null, false);
@@ -74,16 +94,16 @@ public class RefParityDriver {
                 AreaCityQuery.QueryResult r;
                 if (mode.equals("geometry")) {
                     Geometry g = reader.read(payload);
-                    r = q.QueryGeometry(g, null, null);
+                    r = q.QueryGeometry(g, where, null);
                 } else {
                     int t2 = payload.indexOf('\t');
                     double lng = Double.parseDouble(payload.substring(0, t2));
                     double lat = Double.parseDouble(payload.substring(t2 + 1));
                     if (mode.equals("tolerance")) {
                         r = q.QueryPointWithTolerance(
-                            lng, lat, null, new AreaCityQuery.QueryResult(), tol);
+                            lng, lat, where, new AreaCityQuery.QueryResult(), tol);
                     } else {
-                        r = q.QueryPoint(lng, lat, null, null);
+                        r = q.QueryPoint(lng, lat, where, null);
                     }
                 }
                 List<String> hits = new ArrayList<>();

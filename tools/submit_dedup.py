@@ -61,6 +61,10 @@ def main():
                 "jacc_sum": int(row["jacc_sum"] or 0)}
 
     checksums()  # full untimed warm pass
+    # no-silent-caps: report how many (band, bsig) buckets exceeded the
+    # hot-bucket guard and degraded to the star expansion (0 on this
+    # corpus — clusters of 8 sit far below MAX_BUCKET)
+    capped = spark.sql(minhash.capped_buckets_sql("bench_docs")).count()
     membw = membw_probe_gbps()
     timed = TimedRuns()
     sums: dict = {}
@@ -70,7 +74,8 @@ def main():
     print(json.dumps({
         "cpus": cpus, "n": n_docs, "sec": timed.best,
         "throughput": round(n_docs / timed.best, 1),
-        "membw_gbps": membw, **sums, **timed.detail(),
+        "membw_gbps": membw, "capped_buckets": capped,
+        **sums, **timed.detail(),
     }))
     spark.stop()
 
