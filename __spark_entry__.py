@@ -1235,6 +1235,33 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "px_sum", "px_poshash")
 
 
+def media_codec_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-path corpus scan (VERDICT r4 stretch #10): a mixed media
+    corpus where a deterministic 3/4 of blobs are container variants
+    the codecs deliberately do NOT decode — Adam7-interlaced PNG,
+    palette (color-type-3) PNG, progressive (SOF2) JPEG — classified
+    from container headers per blob (functions/media.py triage_images)
+    instead of raising, so a 100-TB scan REPORTS its unsupported
+    fraction as data. Variant = sha256(ref) first byte mod 4; the
+    supported quarter fully decodes and its pixel mass rides the
+    checksum, so the oracle verifies both the classification counts
+    AND that the supported path really decoded."""
+    from areacity_query_geometry_spark.functions import media
+
+    _register(spark, sf_dir, ("events",))
+    spans = spark.sql("""
+        SELECT CAST(event_id AS STRING) AS doc_id,
+               1 AS span_idx,
+               concat('blob://mix/', CAST(event_id AS STRING)) AS ref
+        FROM events WHERE event_id % 50 = 0
+    """)
+    out = media.triage_images(media.synthesize_mixed_images(spans))
+    return (out.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("px_sum"), F.lit(-1))
+                 .cast("long").alias("px_total")))
+
+
 def top_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + top-k (ORDER BY ... LIMIT): the 50 highest-token
     documents, deterministic tie-break on doc_id. Spark plans this as
@@ -2460,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_density_clusters": events_density_clusters,
         "raster_coverage": raster_coverage,
         "raster_vectorize": raster_vectorize,
+        "media_codec_triage": media_codec_triage,
     }
 
 
@@ -3625,6 +3653,36 @@ def oracle_sql() -> dict[str, str]:
                        AS perimeter_deg,
                    CAST(c.n * 31.640625 AS DOUBLE) AS area_deg2
             FROM counts c LEFT JOIN adj a USING (code)
+        """,
+        "media_codec_triage": """
+            WITH d AS (
+                SELECT 'blob://mix/' || CAST(event_id AS VARCHAR) AS ref
+                FROM events WHERE event_id % 50 = 0
+            ),
+            v AS (
+                SELECT ref,
+                       CAST(('0x' || substr(sha256(ref), 1, 2)) AS BIGINT)
+                           % 4 AS variant
+                FROM d
+            ),
+            -- supported quarter (variant 0): pixel k of the 7x11 gray
+            -- PNG = byte (k mod 32) of sha256(ref), same arithmetic as
+            -- the media_png_decode oracle
+            px AS (
+                SELECT sum(CAST(('0x' || substr(sha256(ref), 2*(k%32)+1, 2))
+                           AS BIGINT)) AS s
+                FROM v CROSS JOIN range(0, 77) t(k)
+                WHERE variant = 0
+            )
+            SELECT CASE variant
+                       WHEN 0 THEN 'ok:png-gray8'
+                       WHEN 1 THEN 'reject:png-interlaced'
+                       WHEN 2 THEN 'reject:png-palette'
+                       ELSE 'reject:jpeg-progressive' END AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CASE WHEN variant = 0 THEN (SELECT s FROM px)
+                             ELSE -1 END AS BIGINT) AS px_total
+            FROM v GROUP BY variant
         """,
         "region_overlay_area": f"""
             WITH probes AS ({fixtures.overlay_probes_sql("events")}),

@@ -1494,3 +1494,126 @@ def decode_media(docs: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return spans.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------- triage
+# Reject-path quantification (VERDICT r4 stretch #10): a real corpus
+# scan meets container variants these codecs deliberately do not decode
+# (interlaced PNG, palette PNG, progressive JPEG). The triage stage
+# CLASSIFIES every blob instead of raising, so a 100-TB scan reports
+# its unsupported fraction as data rather than dying on the first
+# Adam7 file. Statuses are decided from container headers alone —
+# PNG IHDR fields, JPEG SOF markers — before any pixel work.
+
+TRIAGE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("status", StringType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def synthesize_mixed_images(spans: DataFrame, ref_col: str = "ref",
+                            w: int = 7, h: int = 11) -> DataFrame:
+    """Corpus with a deterministic unsupported fraction: variant =
+    sha256(ref) first byte mod 4 (DuckDB-recomputable) —
+    0 → supported 8-bit gray PNG (real, decodable);
+    1 → interlaced PNG (IHDR interlace=1, valid CRCs);
+    2 → palette PNG (color type 3 + PLTE, valid CRCs);
+    3 → progressive JPEG (SOI + SOF2 frame header + EOI).
+    The unsupported variants are well-formed ENOUGH that triage rejects
+    them for the right documented reason, not on a parse error."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            imgs = []
+            for ref in pdf[ref_col]:
+                d = hashlib.sha256(ref.encode()).digest()
+                v = d[0] % 4
+                if v == 0:
+                    reps = (w * h + len(d) - 1) // len(d)
+                    px = np.frombuffer((d * reps)[: w * h], dtype=np.uint8)
+                    imgs.append(encode_png_gray8(px.reshape(h, w)))
+                elif v == 1:  # Adam7-interlaced gray PNG header
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+                    imgs.append(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                                + _png_chunk(b"IDAT", b"\x78\x9c\x03\x00"
+                                             b"\x00\x00\x00\x01")
+                                + _png_chunk(b"IEND", b""))
+                elif v == 2:  # palette PNG (color type 3)
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+                    plte = bytes(range(256)) * 3
+                    imgs.append(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                                + _png_chunk(b"PLTE", plte[:768])
+                                + _png_chunk(b"IDAT", b"\x78\x9c\x03\x00"
+                                             b"\x00\x00\x00\x01")
+                                + _png_chunk(b"IEND", b""))
+                else:  # progressive JPEG: SOI + SOF2 frame header + EOI
+                    sof2 = (b"\xff\xc2" + struct.pack(">HBHHB", 11, 8,
+                                                      h, w, 1)
+                            + b"\x01\x11\x00")
+                    imgs.append(b"\xff\xd8" + sof2 + b"\xff\xd9")
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["img"] = imgs
+            yield out
+
+    return spans.mapInPandas(fn, IMAGE_BYTES_SCHEMA)
+
+
+def triage_image(data: bytes) -> tuple[str, int | None]:
+    """Classify one blob → (status, px_sum-or-None). Never raises on
+    the variants the corpus synthesizer produces; a decode is only
+    attempted for containers the codecs support."""
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        # IHDR is the first chunk by spec; fields at fixed offsets
+        tag = data[12:16]
+        if tag != b"IHDR":
+            return "reject:png-malformed", None
+        _, _, depth, ctype, _, _, inter = struct.unpack_from(
+            ">IIBBBBB", data, 16)
+        if inter == 1:
+            return "reject:png-interlaced", None
+        if ctype == 3:
+            return "reject:png-palette", None
+        if (depth, ctype) == (8, 0):
+            px = decode_png_gray8(data).astype(np.int64)
+            return "ok:png-gray8", int(px.sum())
+        if (depth, ctype) == (8, 2):
+            px = decode_png_rgb24(data).astype(np.int64)
+            return "ok:png-rgb24", int(px.sum())
+        return "reject:png-unsupported", None
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker == 0xC2:
+                return "reject:jpeg-progressive", None
+            if marker == 0xC0:
+                return "ok:jpeg-baseline-header", None
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            pos += 2 + ln
+        return "reject:jpeg-unsupported", None
+    return "reject:unknown-container", None
+
+
+def triage_images(imgs: DataFrame, bytes_col: str = "img") -> DataFrame:
+    """Corpus-scan triage stage: one classified row per blob, px_sum
+    populated only for fully decoded containers."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            statuses, sums = [], []
+            for b in pdf[bytes_col]:
+                st, s = triage_image(bytes(b))
+                statuses.append(st)
+                sums.append(s)
+            out = pdf[["doc_id", "span_idx"]].copy()
+            out["span_idx"] = out["span_idx"].astype("int32")
+            out["status"] = statuses
+            out["px_sum"] = pd.Series(sums, dtype="Int64")
+            yield out
+
+    return imgs.mapInPandas(fn, TRIAGE_SCHEMA)
