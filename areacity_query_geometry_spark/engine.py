@@ -1582,6 +1582,15 @@ class SpatialEngine:
                     px = grp["lng"].to_numpy()
                     py = grp["lat"].to_numpy()
                     nx, ny, d_planar = predicates.nearest_on_segments(px, py, segs)
+                    # anisotropy-corrected second candidate (r5): the
+                    # degree-planar argmin above can sit far from the
+                    # meter-nearest boundary point at high latitude;
+                    # the reported distance takes the haversine min
+                    # over both candidates. Gating (rmin/rmax + 24-gon)
+                    # stays on the degree-planar distance — hit-set
+                    # semantics unchanged.
+                    sx, sy = predicates.nearest_on_segments_scaled(
+                        px, py, segs)
                     keep = np.ones(len(px), dtype=bool)
                     if tol > 0:
                         # per-point circle radii in degrees — the exact
@@ -1616,7 +1625,16 @@ class SpatialEngine:
                                 np.full(len(amb), len(segs),
                                         dtype=np.int64))
                     if keep.any():
-                        d = distance.haversine(nx[keep], ny[keep], px[keep], py[keep])
+                        d0 = np.asarray(distance.haversine(
+                            nx[keep], ny[keep], px[keep], py[keep]))
+                        d1 = np.asarray(distance.haversine(
+                            sx[keep], sy[keep], px[keep], py[keep]))
+                        # the scaled candidate wins only on a GENUINE
+                        # improvement (rel 1e-12): for axis-aligned
+                        # segments both argmins are the same geometric
+                        # point up to fp ulps, and the guard keeps the
+                        # pre-r5 bit pattern (gate oracle hashes)
+                        d = np.where(d1 < d0 * (1.0 - 1e-12), d1, d0)
                         pids.append(grp["point_id"].to_numpy()[keep])
                         rids.append(np.full(int(keep.sum()), rid, dtype="int64"))
                         ds.append(np.asarray(d, dtype="float64"))
@@ -1734,6 +1752,24 @@ class SpatialEngine:
                 big = np.where(d2 == dmin2[srep], soffs, np.int64(1) << 62)
                 frow = starts + np.minimum.reduceat(big, starts)
                 nx, ny = cx[frow], cy[frow]
+                # anisotropy-corrected second candidate (r5) — the flat
+                # transcription of nearest_on_segments_scaled, formula
+                # for formula (bit-identity with the join path's matrix
+                # form; same first-hit tie-break)
+                wq = np.cos(np.radians(py))[pp]
+                dxw = dxs * wq
+                qxw = qx * wq
+                ln2s = dxw * dxw + dys * dys
+                ln2s = np.where(ln2s == 0, 1.0, ln2s)
+                ts = np.clip((qxw * dxw + qy * dys) / ln2s, 0.0, 1.0)
+                cxs = ax + ts * dxs
+                cys = ay + ts * dys
+                d2s = ((px[pp] - cxs) * wq) ** 2 + (py[pp] - cys) ** 2
+                dmin2s = np.minimum.reduceat(d2s, starts)
+                bigs = np.where(d2s == dmin2s[srep], soffs,
+                                np.int64(1) << 62)
+                frows = starts + np.minimum.reduceat(bigs, starts)
+                sxx, syy = cxs[frows], cys[frows]
                 d_planar = np.sqrt(dmin2)
                 # per-point circle radii — the exact CreateSimpleCircle
                 # step-ladder arithmetic (identical to dist_fn's)
@@ -1754,8 +1790,13 @@ class SpatialEngine:
                         FX1, FY1, FX2, FY2, s0[amb], scnt[amb])
                 if keep.any():
                     kp = prep[keep]
-                    d = distance.haversine(nx[keep], ny[keep],
-                                           px[kp], py[kp])
+                    d0 = np.asarray(distance.haversine(
+                        nx[keep], ny[keep], px[kp], py[kp]))
+                    d1 = np.asarray(distance.haversine(
+                        sxx[keep], syy[keep], px[kp], py[kp]))
+                    # same genuine-improvement guard as the join path
+                    # (bit-identity across paths and with pre-r5 gates)
+                    d = np.where(d1 < d0 * (1.0 - 1e-12), d1, d0)
                     yield pd.DataFrame({
                         "point_id": pid[kp].astype("int64"),
                         "region_id": region[tix[keep]],

@@ -468,6 +468,46 @@ def nearest_on_segments(px: np.ndarray, py: np.ndarray, segs: np.ndarray):
     return cx[i, j], cy[i, j], np.sqrt(d2[i, j])
 
 
+def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
+                               segs: np.ndarray):
+    """Anisotropy-corrected TWIN of nearest_on_segments: the argmin
+    runs in each point's locally scaled metric (lng scaled by
+    cos(lat) — the equirectangular meter metric), so at high latitude
+    it lands near the METER-nearest boundary point where the
+    degree-planar argmin can sit tens of km away along a parallel
+    (REFPARITY r5: +25.9 km error at lat 84° on the continents
+    fixture). Returns (sx, sy) ON the segments in original degree
+    coordinates; callers evaluate haversine there and take
+    min(haversine @ planar argmin, haversine @ scaled argmin) — a
+    strictly tightening second candidate. For axis-aligned segments
+    the scaled projection parameter equals the unscaled one (per-axis
+    clamping), so rect-fixture outputs are bit-identical either way.
+
+    Kept arithmetically in lockstep with the flat transcription inside
+    engine._dists_tolerance_index — same formulas, same first-hit
+    tie-break (np.argmin) — so the index and join tolerance paths stay
+    bit-identical (tests/test_q2_index_parity.py)."""
+    M = len(px)
+    if len(segs) == 0 or M == 0:
+        nan = np.full(M, np.nan)
+        return nan, nan
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dxs, dys = bx - ax, by - ay
+    w = np.cos(np.radians(py))[:, None]
+    dxw = dxs[None, :] * w
+    qxw = (px[:, None] - ax[None, :]) * w
+    qy = py[:, None] - ay[None, :]
+    ln2 = dxw * dxw + (dys * dys)[None, :]
+    ln2 = np.where(ln2 == 0, 1.0, ln2)
+    t = np.clip((qxw * dxw + qy * dys[None, :]) / ln2, 0.0, 1.0)
+    cx = ax[None, :] + t * dxs[None, :]
+    cy = ay[None, :] + t * dys[None, :]
+    d2 = ((px[:, None] - cx) * w) ** 2 + (py[:, None] - cy) ** 2
+    j = d2.argmin(axis=1)
+    i = np.arange(M)
+    return cx[i, j], cy[i, j]
+
+
 # ------------------------------------------- segment × segment (line probes)
 
 def _orient(ax, ay, bx, by, cx, cy):

@@ -21,16 +21,19 @@ class TestTolerance:
         assert len(rows) == 1
         r = rows[0]
         assert r.name == "浙江省"
-        # the TRUE nearest-boundary distance on this simplified file is
-        # ~1459.9 m (planar argmin over the source rings, haversine at
-        # the winner); the engine's min-of-per-tile-haversines may sit a
-        # few metres under that but NOT at a tile clip artifact: before
-        # the _distance_segs fix, Sutherland–Hodgman bridge runs along
-        # the expanded cell window (OUTSIDE the region) reported 785 m
-        # at base_res 13 and 126 m at base_res 9 — resolution-dependent
-        # and geometrically impossible. Pin the honest band.
+        # the TRUE geodesic nearest-boundary distance on this simplified
+        # file is 1449.434 m (brute force: every source segment sampled
+        # at 8193 parameters, haversine min). Since the r5
+        # anisotropy-corrected second argmin candidate the engine
+        # reports exactly that (pre-r5 it reported 1456.68 — the
+        # degree-planar argmin's point, 7.2 m high). Either way it must
+        # NOT sit at a tile clip artifact: before the _distance_segs
+        # fix, Sutherland–Hodgman bridge runs along the expanded cell
+        # window (OUTSIDE the region) reported 785 m at base_res 13 and
+        # 126 m at base_res 9 — resolution-dependent and geometrically
+        # impossible. Pin the honest band [true, old planar answer].
         assert r.point_distance is not None
-        assert 1450.0 < r.point_distance < 1465.0
+        assert 1449.0 < r.point_distance < 1465.0
         assert '"PointDistance":' in r.prop_json_out
         assert f'"PointDistanceID": {r.region_id}' in r.prop_json_out
 
@@ -171,10 +174,27 @@ class TestTolerance:
             cy = y1 + t * dy
             h = np.asarray(distance.haversine(
                 np.full(len(segs), px), np.full(len(segs), py), cx, cy))
-            lower = float(h.min())
+            # r5: the engine also evaluates the cos-scaled (locally
+            # metric-correct) argmin per piece — extend the band's
+            # lower bound with those candidates. A sub-segment's scaled
+            # argmin can still undercut the full segment's two
+            # candidates by the equirectangular approximation error
+            # (~cm at this scale) — hence the 0.5 m slack, still far
+            # above any clip-bridge artifact (hundreds of metres off).
+            w = np.cos(np.radians(py))
+            dxw = dx * w
+            lls = dxw * dxw + dy * dy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ts = np.clip(((px - x1) * w * dxw + (py - y1) * dy)
+                             / np.where(lls == 0.0, 1.0, lls), 0.0, 1.0)
+            cxs = x1 + ts * dx
+            cys = y1 + ts * dy
+            hs = np.asarray(distance.haversine(
+                np.full(len(segs), px), np.full(len(segs), py), cxs, cys))
+            lower = float(min(h.min(), hs.min()))
             planar = np.hypot(cx - px, cy - py)
             upper = float(h[int(np.argmin(planar))])
-            assert lower - 1e-6 <= d <= upper + 1e-6, \
+            assert lower - 0.5 <= d <= upper + 1e-6, \
                 (pid, name, d, lower, upper)
         rows = province_engine.query_points_with_tolerance(
             _points_df(province_engine.spark, [(114.044346, 22.691963)]), 2500

@@ -180,7 +180,11 @@ def main() -> int:
         f"({my8['qps'] / max(ref1['qps'], 1):.1f}× the reference's "
         "single-thread rate per its own scaling). Note the Spark legs",
         "still pay per-job scheduling overhead at these small probe",
+        "counts — the amortized rate is the DENSE table above"
+        if which == "dense" else
         "counts — the amortized rate at 400M probes is the headline",
+        "(6.2M lookups/s at 100M probes, local[8])."
+        if which == "dense" else
         "table at the top of this file.",
     ]
     if which == "dense":
