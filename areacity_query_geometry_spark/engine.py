@@ -1589,7 +1589,7 @@ class SpatialEngine:
                     # over both candidates. Gating (rmin/rmax + 24-gon)
                     # stays on the degree-planar distance — hit-set
                     # semantics unchanged.
-                    sx, sy = predicates.nearest_on_segments_scaled(
+                    sx, sy, _ = predicates.nearest_on_segments_scaled(
                         px, py, segs)
                     keep = np.ones(len(px), dtype=bool)
                     if tol > 0:
@@ -1828,12 +1828,14 @@ class SpatialEngine:
         (localCheckpoint'd, ContextCleaner-reclaimed); the driver sees
         a round counter and an isEmpty flag — never rows.
 
-        Distance definition: haversine AT THE PLANAR-NEAREST boundary
-        point of the region (argmin by planar distance across tiles,
-        haversine evaluated once at the winner) — well-defined and
-        tiling-independent; for the nearest feature (all the reference
-        ever returns, k=1, AreaCityQuery.java:131-141) it coincides
-        with the reference's per-tile min-of-haversines.
+        Distance definition (r5): haversine at the better of TWO
+        argmin candidates — the degree-planar winner (reference
+        parity) and the cos-scaled locally-metric-correct winner —
+        each min-reduced across tiles in its own metric. Both argmins
+        are over the region's full true-boundary segment set, so the
+        definition stays tiling-independent; the scaled candidate only
+        wins under the 1e-12 relative-improvement guard (rect-fixture
+        hashes bit-stable).
 
         At planet scale: real region sets have every deep level nearby,
         so almost all (point, deep)s certify in round one; the
@@ -2077,25 +2079,38 @@ class SpatialEngine:
                     continue
                 rid = int(row.region_id)
                 ent = best.get(rid)
+                nx, ny, d = predicates.nearest_on_segments(
+                    px[sel], py[sel], segs)
+                # r5 anisotropy-corrected second candidate: min-reduced
+                # across tiles in ITS OWN metric, haversine decided at
+                # the end (same two-candidate scheme as tolerance>0)
+                sx, sy, sd = predicates.nearest_on_segments_scaled(
+                    px[sel], py[sel], segs)
                 if ent is None:
-                    nx, ny, d = predicates.nearest_on_segments(
-                        px[sel], py[sel], segs)
                     best[rid] = (sel, np.asarray(d, dtype=np.float64),
-                                 np.asarray(nx), np.asarray(ny))
+                                 np.asarray(nx), np.asarray(ny),
+                                 np.asarray(sd, dtype=np.float64),
+                                 np.asarray(sx), np.asarray(sy))
                 else:
-                    _, bd, bnx, bny = ent
-                    nx, ny, d = predicates.nearest_on_segments(
-                        px[sel], py[sel], segs)
+                    _, bd, bnx, bny, bsd, bsx, bsy = ent
                     m = d < bd
                     bd[m] = d[m]
                     bnx[m] = nx[m]
                     bny[m] = ny[m]
+                    ms = sd < bsd
+                    bsd[ms] = sd[ms]
+                    bsx[ms] = sx[ms]
+                    bsy[ms] = sy[ms]
             out_p, out_r, out_d = [], [], []
-            for rid, (sel, bd, bnx, bny) in best.items():
+            for rid, (sel, bd, bnx, bny, bsd, bsx, bsy) in best.items():
                 out_p.append(pid[sel])
                 out_r.append(np.full(len(sel), rid, dtype=np.int64))
-                out_d.append(np.asarray(distance.haversine(
-                    bnx, bny, px[sel], py[sel]), dtype=np.float64))
+                d0 = np.asarray(distance.haversine(
+                    bnx, bny, px[sel], py[sel]), dtype=np.float64)
+                d1 = np.asarray(distance.haversine(
+                    bsx, bsy, px[sel], py[sel]), dtype=np.float64)
+                # same genuine-improvement guard as the tolerance paths
+                out_d.append(np.where(d1 < d0 * (1.0 - 1e-12), d1, d0))
             if not out_p:
                 return pd.DataFrame({
                     "point_id": pd.Series([], dtype="int64"),
@@ -2114,10 +2129,12 @@ class SpatialEngine:
     def _cand_dists(self, cand: DataFrame) -> DataFrame:
         """Exact per-(point, region) distances for (point, region,
         tile) candidates, matching the definition the Q2 oracles
-        encode: planar ARGMIN across the region's tiles, then haversine
-        evaluated once AT the winning boundary point (NOT min of
-        per-tile haversines — at long range the two differ because
-        longitudinal meters shrink with latitude).
+        encode: ARGMIN across the region's tiles (planar, plus the r5
+        cos-scaled metric as an independent second candidate), then
+        haversine evaluated AT the winning boundary points and the
+        better one reported (NOT min of per-tile haversines — at long
+        range the two differ because longitudinal meters shrink with
+        latitude).
 
         Stage 1 (Arrow batch): candidate rows group per TILE via a
         lexsort over (cell_id, region_id, bbox bit-keys) — no per-row
@@ -2138,6 +2155,9 @@ class SpatialEngine:
             StructField("planar_d", DoubleType()),
             StructField("nx", DoubleType()),
             StructField("ny", DoubleType()),
+            StructField("scaled_d", DoubleType()),
+            StructField("sx", DoubleType()),
+            StructField("sy", DoubleType()),
         ])
 
         def _empty():
@@ -2146,7 +2166,7 @@ class SpatialEngine:
                     "int64" if c in ("point_id", "region_id")
                     else "int32" if c == "deep" else "float64"))
                 for c in ("point_id", "region_id", "deep", "lng", "lat",
-                          "planar_d", "nx", "ny")})
+                          "planar_d", "nx", "ny", "scaled_d", "sx", "sy")})
 
         def near_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             registry: dict[tuple, np.ndarray] = {}
@@ -2179,6 +2199,9 @@ class SpatialEngine:
                 nx = np.empty(n)
                 ny = np.empty(n)
                 d = np.empty(n)
+                sxa = np.empty(n)
+                sya = np.empty(n)
+                sda = np.empty(n)
                 valid = np.ones(n, dtype=bool)
                 mnx_o = mnxf[order]
                 mny_o = mnyf[order]
@@ -2197,6 +2220,9 @@ class SpatialEngine:
                         continue
                     nx[s0:s1], ny[s0:s1], d[s0:s1] = \
                         predicates.nearest_on_segments(px[s0:s1], py[s0:s1], segs)
+                    sxa[s0:s1], sya[s0:s1], sda[s0:s1] = \
+                        predicates.nearest_on_segments_scaled(
+                            px[s0:s1], py[s0:s1], segs)
                 yield pd.DataFrame({
                     "point_id": pid_o[valid].astype("int64"),
                     "region_id": rs[valid].astype("int64"),
@@ -2206,15 +2232,23 @@ class SpatialEngine:
                     "planar_d": d[valid],
                     "nx": nx[valid],
                     "ny": ny[valid],
+                    "scaled_d": sda[valid],
+                    "sx": sxa[valid],
+                    "sy": sya[valid],
                 })
 
         near = cand.mapInPandas(near_fn, schema)
+        # TWO independent struct-min argmins: the degree-planar winner
+        # (reference-parity definition) and the r5 scaled-metric winner;
+        # haversine decides between them in the thin final pass
         win = near.groupBy("point_id", "region_id").agg(
             F.min(F.struct("planar_d", "nx", "ny")).alias("m"),
+            F.min(F.struct("scaled_d", "sx", "sy")).alias("ms"),
             F.first("deep").alias("deep"),
             F.first("lng").alias("lng"), F.first("lat").alias("lat"),
         ).select("point_id", "region_id", "deep", "lng", "lat",
-                 F.col("m.nx").alias("nx"), F.col("m.ny").alias("ny"))
+                 F.col("m.nx").alias("nx"), F.col("m.ny").alias("ny"),
+                 F.col("ms.sx").alias("sx"), F.col("ms.sy").alias("sy"))
 
         out_schema = StructType([
             StructField("point_id", LongType()),
@@ -2225,9 +2259,15 @@ class SpatialEngine:
 
         def hav_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                d = distance.haversine(
+                d0 = np.asarray(distance.haversine(
                     pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
-                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy())
+                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy()))
+                d1 = np.asarray(distance.haversine(
+                    pdf["sx"].to_numpy(), pdf["sy"].to_numpy(),
+                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy()))
+                # same genuine-improvement guard as every other
+                # tolerance path (keeps rect-fixture hashes bit-stable)
+                d = np.where(d1 < d0 * (1.0 - 1e-12), d1, d0)
                 yield pd.DataFrame({
                     "point_id": pdf["point_id"].astype("int64"),
                     "region_id": pdf["region_id"].astype("int64"),

@@ -486,11 +486,16 @@ def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
     Kept arithmetically in lockstep with the flat transcription inside
     engine._dists_tolerance_index — same formulas, same first-hit
     tie-break (np.argmin) — so the index and join tolerance paths stay
-    bit-identical (tests/test_q2_index_parity.py)."""
+    bit-identical (tests/test_q2_index_parity.py).
+
+    Returns (sx, sy, sd): the winning point and its SCALED-metric
+    distance (degrees, lng compressed by cos lat) — sd orders argmin
+    candidates across tiles for the -1 paths' cross-tile min-reduce;
+    it is never reported to users (haversine at the point is)."""
     M = len(px)
     if len(segs) == 0 or M == 0:
         nan = np.full(M, np.nan)
-        return nan, nan
+        return nan, nan, np.full(M, np.inf)
     ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     dxs, dys = bx - ax, by - ay
     w = np.cos(np.radians(py))[:, None]
@@ -505,7 +510,7 @@ def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
     d2 = ((px[:, None] - cx) * w) ** 2 + (py[:, None] - cy) ** 2
     j = d2.argmin(axis=1)
     i = np.arange(M)
-    return cx[i, j], cy[i, j]
+    return cx[i, j], cy[i, j], np.sqrt(d2[i, j])
 
 
 # ------------------------------------------- segment × segment (line probes)

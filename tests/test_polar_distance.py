@@ -29,7 +29,7 @@ def test_scaled_argmin_beats_planar_at_high_latitude():
     segs = np.array([[10.0, 83.0, 20.0, 83.5]])  # oblique polar edge
     px, py = np.array([14.0]), np.array([83.1])
     nx, ny, _ = predicates.nearest_on_segments(px, py, segs)
-    sx, sy = predicates.nearest_on_segments_scaled(px, py, segs)
+    sx, sy, _ = predicates.nearest_on_segments_scaled(px, py, segs)
     d_planar = float(np.asarray(
         distance.haversine(nx, ny, px, py))[0])
     d_scaled = float(np.asarray(
@@ -49,7 +49,7 @@ def test_scaled_argmin_coincides_on_axis_aligned_segments():
     px = np.array([2.25, 6.5, 3.75])
     py = np.array([3.5, 1.0, -2.0])
     nx, ny, _ = predicates.nearest_on_segments(px, py, segs)
-    sx, sy = predicates.nearest_on_segments_scaled(px, py, segs)
+    sx, sy, _ = predicates.nearest_on_segments_scaled(px, py, segs)
     assert np.array_equal(nx, sx)
     assert np.array_equal(ny, sy)
 
@@ -83,3 +83,26 @@ def test_polar_tolerance_distance_near_geodesic_truth(spark, polar_engine):
     # within a few metres of the true geodesic minimum (pre-r5 the
     # degree-planar answer here was hundreds of metres high)
     assert truth - 0.01 <= d <= truth + 5.0
+
+
+def test_polar_unlimited_tolerance_distance_near_geodesic_truth(
+        spark, polar_engine):
+    # tolerance=-1 rides different kernels (_cand_dists /
+    # _dists_full_scan); since late r5 they carry the same second
+    # candidate, min-reduced across tiles in its own metric
+    probes = spark.createDataFrame(
+        [(1, 14.0, 82.0)], "point_id long, lng double, lat double")
+    rows = polar_engine.query_points_with_tolerance(probes, -1).collect()
+    assert len(rows) == 1
+    d = float(rows[0]["point_distance"])
+    segs = np.array([[ring[i][0], ring[i][1],
+                      ring[i + 1][0], ring[i + 1][1]]
+                     for ring in [[(10.0, 83.0), (20.0, 83.5),
+                                   (12.0, 85.0), (10.0, 83.0)]]
+                     for i in range(3)])
+    truth = _true_min(14.0, 82.0, segs)
+    # long range (124 km at lat 82): the scaled argmin uses the
+    # PROBE's cos(lat) while the winning point sits ~1° away, so the
+    # bound is relative — measured 0.09% high here vs the km-scale
+    # error of the raw planar argmin
+    assert truth - 0.01 <= d <= truth * 1.002
